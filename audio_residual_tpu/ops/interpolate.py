@@ -1,0 +1,90 @@
+"""Resize / frame-interpolation ops with exact torch semantics.
+
+The reference relies on two torch resize behaviours that must be matched
+bit-for-bit for checkpoint-parity inference:
+
+  * ``nn.functional.interpolate(mode='bicubic', align_corners=True)`` inside
+    ``reshape_wav2img`` (`CLAP/src/laion_clap/clap_module/htsat.py:848-863`),
+    used to stretch the 1001-frame log-mel to 1024 frames.
+  * ``interpolate(x, ratio)`` frame-repeat upsampling
+    (`CLAP/src/laion_clap/clap_module/utils.py:211-224`), used for the
+    framewise output head.
+
+TPU-first design: a resize with static in/out sizes is a *fixed linear map*,
+so we precompute the (out x in) interpolation matrix in numpy at trace time
+and apply it as a dense matmul — one MXU op instead of gather+arithmetic
+chains, and trivially fusable with neighbouring matmuls by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+import jax
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["bicubic_matrix", "resize_bicubic_align_corners", "repeat_frames"]
+
+
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic convolution kernel used by torch (Keys, a = -0.75)."""
+    at = np.abs(t)
+    at2, at3 = at * at, at * at * at
+    w = np.where(
+        at <= 1.0,
+        (a + 2.0) * at3 - (a + 3.0) * at2 + 1.0,
+        np.where(at < 2.0, a * at3 - 5.0 * a * at2 + 8.0 * a * at - 4.0 * a, 0.0),
+    )
+    return w
+
+
+@functools.lru_cache(maxsize=32)
+def bicubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense ``[out_size, in_size]`` matrix for 1-D cubic resize with
+    ``align_corners=True`` and border-replicate neighbour clamping (torch
+    ``upsample_bicubic2d`` semantics along one axis)."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m.astype(np.float32)
+    scale = (in_size - 1) / (out_size - 1)
+    for o in range(out_size):
+        x = o * scale
+        x0 = int(np.floor(x))
+        t = x - x0
+        # 4 taps at x0-1 .. x0+2, weights from the cubic kernel
+        for k in range(-1, 3):
+            idx = min(max(x0 + k, 0), in_size - 1)  # replicate borders
+            m[o, idx] += _cubic_kernel(np.array(k - t))
+    return m.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bicubic_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """``[..., H, W] -> [..., out_h, out_w]``, torch bicubic align_corners=True.
+
+    Separable: row matrix on the left, column matrix on the right. Axes with
+    unchanged size multiply by identity, which we skip entirely.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    if h != out_h:
+        mh = jnp.asarray(bicubic_matrix(h, out_h))
+        x = jnp.einsum("oh,...hw->...ow", mh, x, precision=hi)
+    if w != out_w:
+        mw = jnp.asarray(bicubic_matrix(w, out_w))
+        x = jnp.einsum("ow,...hw->...ho", mw, x, precision=hi)
+    return x
+
+
+def repeat_frames(x: jnp.ndarray, ratio: int) -> jnp.ndarray:
+    """Nearest-frame upsample by integer ``ratio`` along axis 1.
+
+    Matches the reference ``interpolate`` (`clap_module/utils.py:211-224`):
+    ``[B, T, C] -> [B, T*ratio, C]`` by repeating each frame ``ratio`` times.
+    """
+    b, t, c = x.shape
+    return jnp.broadcast_to(x[:, :, None, :], (b, t, ratio, c)).reshape(b, t * ratio, c)

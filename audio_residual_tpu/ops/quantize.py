@@ -1,0 +1,47 @@
+"""Audio int16 round-trip quantisation and length normalisation.
+
+Reference: ``quantize_tensor`` / ``pad_or_truncate`` (`src/residual.py:210-222`)
+and ``int16_to_float32`` / ``float32_to_int16`` (`training/data.py:93-108`).
+The reference simulates int16 storage of waveforms before embedding; every
+eval path quantises first, so embedding parity requires identical rounding
+(torch ``.to(torch.int16)`` truncates toward zero).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "float32_to_int16",
+    "int16_to_float32",
+    "quantize_roundtrip",
+    "pad_or_truncate",
+]
+
+
+def float32_to_int16(x: jnp.ndarray) -> jnp.ndarray:
+    """Clamp to [-1, 1], scale by 32767, truncate toward zero (torch cast rule)."""
+    x = jnp.clip(x, -1.0, 1.0)
+    return jnp.trunc(x * 32767.0).astype(jnp.int16)
+
+
+def int16_to_float32(x: jnp.ndarray) -> jnp.ndarray:
+    return x.astype(jnp.float32) / 32767.0
+
+
+def quantize_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
+    """float -> int16 -> float, matching ``quantize_tensor`` (`src/residual.py:210`)."""
+    return int16_to_float32(float32_to_int16(x))
+
+
+def pad_or_truncate(x: jnp.ndarray, target_len: int = 480000) -> jnp.ndarray:
+    """Mono-downmix leading channel dims, then right-pad zeros / truncate to
+    ``target_len`` (`src/residual.py:214-222`)."""
+    while x.ndim > 1:
+        x = x.mean(axis=0)
+    n = x.shape[0]
+    if n > target_len:
+        return x[:target_len]
+    if n < target_len:
+        return jnp.pad(x, (0, target_len - n))
+    return x

@@ -1,0 +1,206 @@
+"""Load the ACTUAL reference HTSAT implementation as a numerical oracle.
+
+We import `/root/reference/CLAP/src/laion_clap/clap_module/htsat.py` directly
+(read-only; nothing is copied into this repo) with shims for its missing
+third-party deps:
+
+  * ``torchlibrosa.stft.Spectrogram`` -> torch.stft (same semantics: hann
+    periodic window, center reflect pad, power 2) — itself validated against
+    our JAX frontend in test_frontend.py;
+  * ``torchlibrosa.stft.LogmelFilterBank`` -> our mel filterbank matrix
+    (validated against transformers' librosa-parity mel_filter_bank) + the
+    reference's log semantics;
+  * ``torchlibrosa.augmentation.SpecAugmentation`` -> eval-mode no-op
+    (parity tests run in eval);
+  * ``torchvision.ops.misc.FrozenBatchNorm2d`` -> alias of nn.BatchNorm2d
+    (imported by clap_module/utils.py but unused in the HTSAT path).
+
+This lets parity tests compare our JAX model against the true reference
+forward, weight-for-weight, rather than against a re-implementation.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+REF_DIR = "/root/reference/CLAP/src/laion_clap/clap_module"
+
+
+def _install_shims():
+    if "torchlibrosa" in sys.modules:
+        return
+
+    from audio_residual_tpu.ops import frontend as fe
+
+    class Spectrogram(nn.Module):
+        def __init__(self, n_fft, hop_length, win_length, window="hann", center=True,
+                     pad_mode="reflect", freeze_parameters=True, power=2.0):
+            super().__init__()
+            assert window == "hann" and center and pad_mode == "reflect"
+            self.n_fft, self.hop, self.win = n_fft, hop_length, win_length
+            self.register_buffer("window_t", torch.hann_window(win_length, periodic=True))
+
+        def forward(self, x):  # [B, T] -> [B, 1, frames, bins]
+            spec = torch.stft(
+                x, n_fft=self.n_fft, hop_length=self.hop, win_length=self.win,
+                window=self.window_t, center=True, pad_mode="reflect", return_complex=True,
+            )
+            return (spec.abs() ** 2).transpose(-1, -2)[:, None]
+
+    class LogmelFilterBank(nn.Module):
+        def __init__(self, sr, n_fft, n_mels, fmin, fmax, ref=1.0, amin=1e-10,
+                     top_db=None, freeze_parameters=True):
+            super().__init__()
+            cfg = fe.FrontendConfig(
+                sample_rate=sr, n_fft=n_fft, n_mels=n_mels, fmin=fmin, fmax=fmax,
+                ref=ref, amin=amin, top_db=top_db,
+            )
+            self.amin, self.ref, self.top_db = amin, ref, top_db
+            self.register_buffer("melW", torch.from_numpy(fe.mel_filterbank(cfg)))
+
+        def forward(self, x):  # [B, 1, frames, bins] -> [B, 1, frames, mels]
+            mel = torch.matmul(x, self.melW)
+            log_spec = 10.0 * torch.log10(torch.clamp(mel, min=self.amin))
+            log_spec -= 10.0 * np.log10(max(self.amin, self.ref))
+            return log_spec
+
+    class SpecAugmentation(nn.Module):
+        def __init__(self, **kw):
+            super().__init__()
+
+        def forward(self, x):
+            if self.training:
+                raise NotImplementedError("oracle is eval-only")
+            return x
+
+    tl = types.ModuleType("torchlibrosa")
+    tl_stft = types.ModuleType("torchlibrosa.stft")
+    tl_stft.Spectrogram = Spectrogram
+    tl_stft.LogmelFilterBank = LogmelFilterBank
+    tl_aug = types.ModuleType("torchlibrosa.augmentation")
+    tl_aug.SpecAugmentation = SpecAugmentation
+    tl.stft, tl.augmentation = tl_stft, tl_aug
+    sys.modules["torchlibrosa"] = tl
+    sys.modules["torchlibrosa.stft"] = tl_stft
+    sys.modules["torchlibrosa.augmentation"] = tl_aug
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_ops = types.ModuleType("torchvision.ops")
+        tv_misc = types.ModuleType("torchvision.ops.misc")
+        tv_misc.FrozenBatchNorm2d = nn.BatchNorm2d
+        tv_ops.misc = tv_misc
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+        sys.modules["torchvision.ops.misc"] = tv_misc
+
+
+def _load_ref_package():
+    """Import the reference clap_module as package 'ref_clap' from REF_DIR."""
+    if "ref_clap" in sys.modules:
+        return sys.modules["ref_clap"]
+    _install_shims()
+    pkg = types.ModuleType("ref_clap")
+    pkg.__path__ = [REF_DIR]
+    pkg.__package__ = "ref_clap"
+    sys.modules["ref_clap"] = pkg
+    for name in ("utils", "feature_fusion", "htsat"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_clap.{name}", f"{REF_DIR}/{name}.py",
+            submodule_search_locations=None,
+        )
+        mod = importlib.util.module_from_spec(spec)
+        mod.__package__ = "ref_clap"
+        sys.modules[f"ref_clap.{name}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, name, mod)
+    return pkg
+
+
+class _AudioCfg:
+    """Attribute-style audio config for HTSAT_Swin_Transformer(config=...)."""
+
+    def __init__(self, **kw):
+        defaults = dict(
+            sample_rate=48000, clip_samples=480000, window_size=1024, hop_size=480,
+            mel_bins=64, fmin=50, fmax=14000, class_num=527,
+            model_type="HTSAT", model_name="tiny",
+        )
+        defaults.update(kw)
+        self.__dict__.update(defaults)
+
+
+def build_reference_htsat(cfg_overrides: dict | None = None, **model_kw) -> nn.Module:
+    """Instantiate the reference HTSAT_Swin_Transformer (tiny by default)."""
+    pkg = _load_ref_package()
+    audio_cfg = _AudioCfg(**(cfg_overrides or {}))
+    model = pkg.htsat.HTSAT_Swin_Transformer(
+        spec_size=256, patch_size=4, patch_stride=(4, 4),
+        num_classes=audio_cfg.class_num, embed_dim=96, depths=[2, 2, 6, 2],
+        num_heads=[4, 8, 16, 32], window_size=8, config=audio_cfg,
+        enable_fusion=False, fusion_type="None", **model_kw,
+    )
+    model.eval()
+    return model
+
+
+def jax_params_to_torch_state(params: dict, prefix: str = "") -> dict[str, torch.Tensor]:
+    """Reverse of models/convert.py: our HTSAT pytree -> reference state_dict."""
+    sd: dict[str, torch.Tensor] = {}
+
+    def T(x):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
+
+    def lin(dst, p):
+        sd[dst + ".weight"] = T(p["kernel"]).T.contiguous()
+        if "bias" in p:
+            sd[dst + ".bias"] = T(p["bias"])
+
+    def ln(dst, p):
+        sd[dst + ".weight"] = T(p["scale"])
+        sd[dst + ".bias"] = T(p["bias"])
+
+    sd[prefix + "bn0.weight"] = T(params["bn0"]["scale"])
+    sd[prefix + "bn0.bias"] = T(params["bn0"]["bias"])
+    sd[prefix + "bn0.running_mean"] = T(params["bn0"]["mean"])
+    sd[prefix + "bn0.running_var"] = T(params["bn0"]["var"])
+    sd[prefix + "patch_embed.proj.weight"] = T(params["patch_embed"]["proj"]["kernel"]).permute(3, 2, 0, 1).contiguous()
+    sd[prefix + "patch_embed.proj.bias"] = T(params["patch_embed"]["proj"]["bias"])
+    ln(prefix + "patch_embed.norm", params["patch_embed"]["norm"])
+    for i, layer in enumerate(params["layers"]):
+        for j, blk in enumerate(layer["blocks"]):
+            bp = f"{prefix}layers.{i}.blocks.{j}."
+            ln(bp + "norm1", blk["norm1"])
+            lin(bp + "attn.qkv", blk["attn"]["qkv"])
+            lin(bp + "attn.proj", blk["attn"]["proj"])
+            sd[bp + "attn.relative_position_bias_table"] = T(blk["attn"]["rel_bias_table"])
+            ln(bp + "norm2", blk["norm2"])
+            lin(bp + "mlp.fc1", blk["mlp"]["fc1"])
+            lin(bp + "mlp.fc2", blk["mlp"]["fc2"])
+        if "downsample" in layer:
+            dp = f"{prefix}layers.{i}.downsample."
+            ln(dp + "norm", layer["downsample"]["norm"])
+            lin(dp + "reduction", layer["downsample"]["reduction"])
+    ln(prefix + "norm", params["norm"])
+    sd[prefix + "tscam_conv.weight"] = T(params["tscam_conv"]["kernel"]).permute(3, 2, 0, 1).contiguous()
+    sd[prefix + "tscam_conv.bias"] = T(params["tscam_conv"]["bias"])
+    lin(prefix + "head", params["head"])
+    return sd
+
+
+def load_jax_params_into_reference(model: nn.Module, params: dict) -> None:
+    sd = jax_params_to_torch_state(params)
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    # buffers the torch model generates itself (DSP bases, masks, indices)
+    allowed = ("spectrogram_extractor", "logmel_extractor", "window_t", "melW",
+               "attn_mask", "relative_position_index")
+    bad = [m for m in missing if not any(a in m for a in allowed)]
+    assert not bad, f"missing keys: {bad}"
+    assert not unexpected, f"unexpected keys: {unexpected}"
