@@ -39,6 +39,17 @@ class CLAPConfig:
     context_length: int = 77
 
 
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """torch ``F.normalize`` semantics: divide by ``max(||x||, eps)``.
+
+    Implemented as ``x * rsqrt(max(sum(x²), eps²))`` so both the value AND the
+    gradient are finite at x = 0 (a bare ``sqrt`` has a NaN gradient there
+    even under ``maximum`` — relevant at random init, where ReLU projections
+    can emit exactly-zero vectors)."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
+
+
 def _mlp_act(cfg: CLAPConfig, x):
     if cfg.mlp_act == "relu":
         return jax.nn.relu(x)
@@ -129,7 +140,7 @@ def encode_audio(
     )
     proj = apply_projection(cfg, params["audio_projection"], out["embedding"])
     out["projected"] = proj
-    out["normalized"] = proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)
+    out["normalized"] = l2_normalize(proj)
     return out
 
 
@@ -148,7 +159,7 @@ def encode_text(
     )["pooler_output"]
     x = apply_projection(cfg, params["text_projection"], pooled)
     if normalize:
-        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x = l2_normalize(x)
     return x
 
 

@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["bicubic_matrix", "resize_bicubic_align_corners", "repeat_frames"]
+__all__ = [
+    "bicubic_matrix",
+    "resize_bicubic_align_corners",
+    "bilinear_matrix",
+    "resize_bilinear_antialias",
+    "repeat_frames",
+]
 
 
 def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
@@ -77,6 +83,49 @@ def resize_bicubic_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.
     if w != out_w:
         mw = jnp.asarray(bicubic_matrix(w, out_w))
         x = jnp.einsum("ow,...hw->...ho", mw, x, precision=hi)
+    return x
+
+
+@functools.lru_cache(maxsize=32)
+def bilinear_matrix(in_size: int, out_size: int, antialias: bool = True) -> np.ndarray:
+    """Dense 1-D bilinear resize matrix, ``align_corners=False``; with
+    ``antialias=True`` matches torchvision ``Resize`` / torch
+    ``F.interpolate(..., antialias=True)`` downsampling (triangle filter
+    widened by the scale factor). Used by the fusion path's ``mel_shrink``
+    (`training/data.py:455`)."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    scale = in_size / out_size
+    support = max(scale, 1.0) if antialias else 1.0
+    for o in range(out_size):
+        center = (o + 0.5) * scale
+        lo = int(np.floor(center - support - 0.5)) + 1
+        hi = int(np.ceil(center + support - 0.5)) + 1
+        idx = np.arange(lo, hi)
+        t = (idx + 0.5 - center) / (scale if antialias and scale > 1 else 1.0)
+        w = np.maximum(0.0, 1.0 - np.abs(t))
+        keep = w > 0
+        idx, w = idx[keep], w[keep]
+        idx = np.clip(idx, 0, in_size - 1)
+        if w.sum() > 0:
+            w = w / w.sum()
+        for i_, w_ in zip(idx, w):
+            m[o, i_] += w_
+    return m.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "antialias"))
+def resize_bilinear_antialias(
+    x: jnp.ndarray, out_h: int, out_w: int, antialias: bool = True
+) -> jnp.ndarray:
+    """``[..., H, W] -> [..., out_h, out_w]`` separable bilinear resize."""
+    h, w = x.shape[-2], x.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    if h != out_h:
+        x = jnp.einsum("oh,...hw->...ow", jnp.asarray(bilinear_matrix(h, out_h, antialias)), x, precision=hi)
+    if w != out_w:
+        x = jnp.einsum("ow,...hw->...ho", jnp.asarray(bilinear_matrix(w, out_w, antialias)), x, precision=hi)
     return x
 
 

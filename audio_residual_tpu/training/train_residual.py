@@ -1,0 +1,301 @@
+"""ResiDual zero-shot training: learn the spectral-reweighting λ against fixed
+class-text embeddings with a CrossEntropy objective.
+
+Reference: `src/training.py:12-140` (epoch loop, eval variant, W&B sweep
+runner) and `src/evaluation.py:19-128` (K-fold harness, .npz artifacts,
+baseline eval).
+
+TPU-native design: one jitted train step where λ is the *only* differentiated
+leaf — the frozen CLAP params are a closed-over constant pytree, so XLA
+constant-folds what it can and the backward is the thin chain through the
+ResiDual epilogues. The whole epoch runs device-side; featurization is the
+batched jit (`featurize_batch`), not the reference's per-sample host loop.
+
+Reference quirks handled explicitly:
+  * training runs the encoder in *eval-mode statistics* (the reference sets
+    ``model.train()`` but the hook immediately flips ``model.eval()``,
+    `hook.py:173` vs `src/training.py:17`) — we simply always encode with
+    ``train=False``;
+  * evaluation int16-quantises waveforms, training does not
+    (`src/training.py:24` vs `:55`);
+  * the patched block applies shortcut+MLP twice (`src/residual.py:92-96`) —
+    ``double_ffn_compat=True`` reproduces it (default, it produced the
+    published numbers); pass ``False`` for the clean semantics;
+  * trained λ was never persisted by the reference — we save it.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audio_residual_tpu.data.featurize import featurize_batch
+from audio_residual_tpu.models import clap as clap_mod
+from audio_residual_tpu.ops.quantize import quantize_roundtrip
+from audio_residual_tpu.residual.module import load_residual_params, save_residual_params
+
+__all__ = [
+    "make_zero_shot_step",
+    "train_residual",
+    "evaluate_zero_shot",
+    "train_and_evaluate_residual",
+    "evaluate_baseline_clap",
+    "train_with_config",
+]
+
+
+def _split_residual(residual: dict):
+    lam = {l: r["lam"] for l, r in residual.items()}
+    frozen = {l: {"basis": r["basis"], "mean": r["mean"]} for l, r in residual.items()}
+    return lam, frozen
+
+
+def _merge_residual(lam: dict, frozen: dict):
+    return {l: {**frozen[l], "lam": lam[l]} for l in frozen}
+
+
+def make_zero_shot_step(
+    params: dict,
+    cfg: clap_mod.CLAPConfig,
+    text_embeds: jnp.ndarray,
+    frozen_residual: dict,
+    optimizer: optax.GradientTransformation,
+    *,
+    max_len: int = 480000,
+    double_ffn_compat: bool = True,
+    compute_dtype=None,
+):
+    """Build the jitted ``(lam, opt_state, wav, labels) -> (lam, opt_state,
+    loss, n_correct)`` train step. λ is the only trainable pytree."""
+
+    def loss_fn(lam, wav, labels):
+        residual = _merge_residual(lam, frozen_residual)
+        batch = featurize_batch(wav, max_len)
+        out = clap_mod.encode_audio(
+            params, batch, cfg, residual=residual,
+            double_ffn_compat=double_ffn_compat, compute_dtype=compute_dtype,
+        )
+        sims = out["normalized"] @ text_embeds.T
+        logp = jax.nn.log_softmax(sims, axis=-1)
+        loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+        correct = jnp.sum(sims.argmax(-1) == labels)
+        return loss, correct
+
+    @jax.jit
+    def step(lam, opt_state, wav, labels):
+        (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(lam, wav, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, lam)
+        lam = optax.apply_updates(lam, updates)
+        return lam, opt_state, loss, correct
+
+    return step, jax.jit(loss_fn)
+
+
+def train_residual(
+    params: dict,
+    cfg: clap_mod.CLAPConfig,
+    train_batches: Callable[[], Iterable],
+    text_embeds: jnp.ndarray,
+    residual: dict,
+    *,
+    epochs: int = 10,
+    lr: float = 0.01,
+    max_len: int = 480000,
+    double_ffn_compat: bool = True,
+    log_fn: Callable[[dict], None] | None = None,
+) -> tuple[dict, list[dict]]:
+    """Train λ (`src/training.py:12-41` + Adam as `evaluation.py:54`).
+
+    ``train_batches()`` yields ``(wav [B, T], labels [B])`` numpy pairs.
+    Returns the trained residual dict and the per-epoch history.
+    """
+    lam, frozen = _split_residual(residual)
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(lam)
+    step, _ = make_zero_shot_step(
+        params, cfg, text_embeds, frozen, optimizer,
+        max_len=max_len, double_ffn_compat=double_ffn_compat,
+    )
+    history = []
+    for e in range(epochs):
+        total_loss, correct, total = 0.0, 0, 0
+        for wav, labels in train_batches():
+            wav = jnp.asarray(wav)
+            labels = jnp.asarray(labels)
+            lam, opt_state, loss, c = step(lam, opt_state, wav, labels)
+            bs = wav.shape[0]
+            total_loss += float(loss) * bs
+            correct += int(c)
+            total += bs
+        rec = {"epoch": e, "train_loss": total_loss / max(total, 1), "train_acc": correct / max(total, 1)}
+        history.append(rec)
+        if log_fn:
+            log_fn(rec)
+    return _merge_residual(lam, frozen), history
+
+
+def evaluate_zero_shot(
+    params: dict,
+    cfg: clap_mod.CLAPConfig,
+    batches: Iterable,
+    text_embeds: jnp.ndarray,
+    *,
+    residual: dict | None = None,
+    max_len: int = 480000,
+    double_ffn_compat: bool = True,
+    quantize: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (predictions, targets, similarities); int16 round-trip applied like
+    the reference eval path (`src/evaluation.py:93` + `hook.py:180-184`)."""
+
+    @jax.jit
+    def embed(wav):
+        if quantize:
+            wav = quantize_roundtrip(wav)
+        batch = featurize_batch(wav, max_len)
+        out = clap_mod.encode_audio(
+            params, batch, cfg, residual=residual, double_ffn_compat=double_ffn_compat
+        )
+        return out["normalized"]
+
+    sims_all, targets_all = [], []
+    for wav, labels in batches:
+        sims = np.asarray(embed(jnp.asarray(wav)) @ text_embeds.T)
+        sims_all.append(sims)
+        targets_all.append(np.asarray(labels))
+    similarities = np.concatenate(sims_all)
+    targets = np.concatenate(targets_all)
+    return similarities.argmax(-1), targets, similarities
+
+
+def _kfold_npz(save_file, preds, targets, sims):
+    os.makedirs(os.path.dirname(save_file), exist_ok=True)
+    np.savez_compressed(
+        save_file, similarities=sims, predictions=np.asarray(preds), targets=np.asarray(targets)
+    )
+
+
+def train_and_evaluate_residual(
+    params: dict,
+    cfg: clap_mod.CLAPConfig,
+    dataset_name: str,
+    folds: list,
+    text_embeds: jnp.ndarray,
+    pca_path: str,
+    save_dir: str,
+    *,
+    epochs: int = 10,
+    lr: float = 0.01,
+    inject_layers: tuple[int, ...] = (0,),
+    double_ffn_compat: bool = True,
+    save_lambda: bool = True,
+) -> list[dict]:
+    """K-fold CV harness (`src/evaluation.py:19-71`): per fold, load the
+    per-(layer, fold) PCA basis, train λ, evaluate, save the ``.npz``
+    artifact (same schema) — plus the trained λ (fixing the reference's
+    persistence gap)."""
+    layers_str = "_".join(map(str, inject_layers))
+    out_dir = os.path.join(save_dir, dataset_name, "ResiDual")
+    results = []
+    for i, (train_batches, val_batches) in enumerate(folds):
+        residual = {
+            l: load_residual_params(
+                os.path.join(pca_path, dataset_name, f"layer_{l}_evalfold_{i}")
+            )
+            for l in inject_layers
+        }
+        trained, history = train_residual(
+            params, cfg, train_batches, text_embeds, residual,
+            epochs=epochs, lr=lr, double_ffn_compat=double_ffn_compat,
+        )
+        preds, targets, sims = evaluate_zero_shot(
+            params, cfg, val_batches(), text_embeds,
+            residual=trained, double_ffn_compat=double_ffn_compat,
+        )
+        save_file = os.path.join(out_dir, f"layers_{layers_str}_evalfold_{i}.npz")
+        _kfold_npz(save_file, preds, targets, sims)
+        if save_lambda:
+            for l, r in trained.items():
+                save_residual_params(
+                    os.path.join(out_dir, f"lambda_layer{l}_evalfold_{i}.pkl"), r
+                )
+        acc = float((preds == targets).mean())
+        results.append({"fold": i, "accuracy": acc, "history": history})
+    return results
+
+
+def evaluate_baseline_clap(
+    params: dict,
+    cfg: clap_mod.CLAPConfig,
+    dataset_name: str,
+    folds: list,
+    text_embeds: jnp.ndarray,
+    save_dir: str,
+) -> list[dict]:
+    """Zero-shot baseline per fold (`src/evaluation.py:112-128`)."""
+    out_dir = os.path.join(save_dir, dataset_name, "Baseline")
+    results = []
+    for i, (_, val_batches) in enumerate(folds):
+        preds, targets, sims = evaluate_zero_shot(params, cfg, val_batches(), text_embeds)
+        _kfold_npz(os.path.join(out_dir, f"evalfold_{i}.npz"), preds, targets, sims)
+        results.append({"fold": i, "accuracy": float((preds == targets).mean())})
+    return results
+
+
+def train_with_config(
+    config: dict,
+    params: dict,
+    cfg: clap_mod.CLAPConfig,
+    dataset_name: str,
+    folds: list,
+    text_embeds: jnp.ndarray,
+    pca_path: str,
+    *,
+    log_fn: Callable[[dict], None] | None = None,
+) -> dict:
+    """Single sweep-run (`src/training.py:72-140`): pick eval fold, load
+    per-(layer, fold) PCA, train, track best val accuracy. ``config`` keys:
+    ``lr``, ``epochs``, ``inject_layers``, ``eval_fold``; compatible with the
+    reference's W&B sweep grid (nb2 cell 15)."""
+    fold = config.get("eval_fold", 0)
+    inject_layers = tuple(config.get("inject_layers", (0,)))
+    train_batches, val_batches = folds[fold]
+    residual = {
+        l: load_residual_params(os.path.join(pca_path, dataset_name, f"layer_{l}_evalfold_{fold}"))
+        for l in inject_layers
+    }
+    best_val_acc = 0.0
+    lam, frozen = _split_residual(residual)
+    optimizer = optax.adam(config.get("lr", 0.01))
+    opt_state = optimizer.init(lam)
+    step, loss_fn = make_zero_shot_step(params, cfg, text_embeds, frozen, optimizer)
+    history = []
+    for e in range(config.get("epochs", 10)):
+        tl, tc, tn = 0.0, 0, 0
+        for wav, labels in train_batches():
+            lam, opt_state, loss, c = step(lam, opt_state, jnp.asarray(wav), jnp.asarray(labels))
+            tl += float(loss) * len(labels)
+            tc += int(c)
+            tn += len(labels)
+        preds, targets, _ = evaluate_zero_shot(
+            params, cfg, val_batches(), text_embeds, residual=_merge_residual(lam, frozen)
+        )
+        val_acc = float((preds == targets).mean())
+        best_val_acc = max(best_val_acc, val_acc)
+        rec = {
+            "epoch": e,
+            "train_loss": tl / max(tn, 1),
+            "train_acc": tc / max(tn, 1),
+            "val_acc": val_acc,
+            "lambda_hist": {l: np.asarray(v) for l, v in lam.items()},
+        }
+        history.append(rec)
+        if log_fn:
+            log_fn(rec)
+    return {"best_val_acc": best_val_acc, "history": history, "residual": _merge_residual(lam, frozen)}

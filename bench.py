@@ -1,0 +1,127 @@
+"""Benchmark: ESC-50 zero-shot + ResiDual inference clips/sec on one chip.
+
+Measures the full eval pipeline of the primary metric path (SURVEY.md §3.1):
+int16 round-trip -> repeatpad featurization -> HTSAT forward (ResiDual
+injected, layer 0, reference PCA basis) -> audio projection -> L2 norm ->
+similarity argmax vs 50 class-text embeddings — all inside one jit.
+
+Baseline: the same eval path on torch CPU using the ACTUAL reference HTSAT
+(imported from /root/reference with shimmed torchlibrosa), amortized over a
+small number of clips (torch-CPU is ~3 orders of magnitude slower). The
+baseline number is cached in .bench_baseline.json after first measurement.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": clips/sec, "unit": "clips/sec/chip", "vs_baseline": x}
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+CLIP_SAMPLES = 240000  # ESC-50: 5 s @ 48 kHz
+N_CLASSES = 50
+
+
+def make_inputs(batch: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((batch, CLIP_SAMPLES)) * 0.1).astype(np.float32)
+
+
+def bench_jax_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from audio_residual_tpu.data.featurize import featurize_batch
+    from audio_residual_tpu.models import clap as clap_mod
+    from audio_residual_tpu.ops.quantize import quantize_roundtrip
+    from audio_residual_tpu.residual.module import load_residual_params
+
+    cfg = clap_mod.CLAPConfig()
+    params = clap_mod.init_clap_params(jax.random.PRNGKey(0), cfg)
+    residual = {0: load_residual_params(
+        "/root/reference/residual_pca/ESC50/layer_0_evalfold_0")}
+    text_embeds = jnp.asarray(
+        make_inputs(1, 7)[:, : N_CLASSES * 512].reshape(N_CLASSES, 512)
+    )
+    text_embeds = text_embeds / jnp.linalg.norm(text_embeds, axis=-1, keepdims=True)
+
+    @jax.jit
+    def zero_shot(params, wav):
+        wav = quantize_roundtrip(wav)
+        batch = featurize_batch(wav, cfg.audio.clip_samples)
+        out = clap_mod.encode_audio(params, batch, cfg, residual=residual)
+        sims = out["normalized"] @ text_embeds.T
+        return sims.argmax(-1)
+
+    wav = jnp.asarray(make_inputs(BATCH))
+    zero_shot(params, wav).block_until_ready()  # compile
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        preds = zero_shot(params, wav)
+    preds.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+    return BATCH / dt
+
+
+def bench_torch_cpu() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_clips_per_sec"]
+
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import reference_oracle as oracle
+
+    model = oracle.build_reference_htsat()
+    model.eval()
+    # reference eval path: int16 round trip + repeatpad + forward
+    wav = make_inputs(4)
+    wav = np.clip(wav, -1, 1)
+    wav = (wav * 32767).astype(np.int16).astype(np.float32) / 32767.0
+    wav = np.tile(wav, (1, 2))  # repeatpad 240000 -> 480000
+    x = {"waveform": torch.from_numpy(wav)}
+    with torch.no_grad():
+        model(x, device="cpu")  # warmup
+        t0 = time.perf_counter()
+        model(x, device="cpu")
+        dt = time.perf_counter() - t0
+    clips_per_sec = wav.shape[0] / dt
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_clips_per_sec": clips_per_sec}, f)
+    return clips_per_sec
+
+
+def main() -> None:
+    value = bench_jax_tpu()
+    try:
+        baseline = bench_torch_cpu()
+    except Exception:
+        baseline = None
+    vs = (value / baseline) if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "ESC-50 zero-shot+ResiDual inference clips/sec/chip",
+                "value": round(value, 2),
+                "unit": "clips/sec",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""End-to-end tests of the ResiDual trainer, linear probe, losses, and the
+zero-shot eval harness on a tiny CLAP (CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_residual_tpu.models import clap as clap_mod
+from audio_residual_tpu.ops import pca as pca_ops
+from audio_residual_tpu.residual.module import init_residual_params
+from audio_residual_tpu.training import linear_probe, losses, train_residual
+from audio_residual_tpu.training.scheduler import cosine_lr
+
+from .tiny import TINY_CLAP, tiny_clap_params
+
+CFG = TINY_CLAP
+MAX_LEN = CFG.audio.clip_samples
+N_CLASSES = 7
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = tiny_clap_params()
+    rng = np.random.default_rng(0)
+    text_embeds = rng.standard_normal((N_CLASSES, CFG.joint_embed_shape)).astype(np.float32)
+    text_embeds /= np.linalg.norm(text_embeds, axis=-1, keepdims=True)
+
+    def make_batches(seed, n_batches=2, bs=4):
+        def gen():
+            r = np.random.default_rng(seed)
+            for _ in range(n_batches):
+                wav = (r.standard_normal((bs, MAX_LEN // 2)) * 0.1).astype(np.float32)
+                labels = r.integers(0, N_CLASSES, bs)
+                yield wav, labels
+
+        return gen
+
+    return params, jnp.asarray(text_embeds), make_batches
+
+
+def _residual_for_layer0(params, dim=32):
+    rng = np.random.default_rng(1)
+    q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return {0: init_residual_params(q.astype(np.float32), rng.standard_normal(dim).astype(np.float32) * 0.01)}
+
+
+def test_train_residual_updates_only_lambda(setup):
+    params, text_embeds, make_batches = setup
+    residual = _residual_for_layer0(params)
+    lam_before = np.asarray(residual[0]["lam"]).copy()
+    basis_before = np.asarray(residual[0]["basis"]).copy()
+    trained, history = train_residual.train_residual(
+        params, CFG, make_batches(1), text_embeds, residual, epochs=2, lr=0.05
+    )
+    assert len(history) == 2
+    assert not np.allclose(np.asarray(trained[0]["lam"]), lam_before)
+    np.testing.assert_array_equal(np.asarray(trained[0]["basis"]), basis_before)
+    assert np.isfinite(history[-1]["train_loss"])
+
+
+def test_training_reduces_loss(setup):
+    params, text_embeds, make_batches = setup
+    residual = _residual_for_layer0(params)
+    # one fixed batch, many steps -> loss must drop
+    r = np.random.default_rng(3)
+    wav = (r.standard_normal((8, MAX_LEN // 2)) * 0.1).astype(np.float32)
+    labels = r.integers(0, N_CLASSES, 8)
+
+    def batches():
+        for _ in range(5):
+            yield wav, labels
+
+    trained, history = train_residual.train_residual(
+        params, CFG, batches, text_embeds, residual, epochs=2, lr=0.1
+    )
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
+
+
+def test_evaluate_zero_shot_shapes(setup):
+    params, text_embeds, make_batches = setup
+    preds, targets, sims = train_residual.evaluate_zero_shot(
+        params, CFG, make_batches(2)(), text_embeds
+    )
+    assert preds.shape == targets.shape == (8,)
+    assert sims.shape == (8, N_CLASSES)
+    assert (preds == sims.argmax(-1)).all()
+
+
+def test_kfold_harness_artifacts(setup, tmp_path):
+    params, text_embeds, make_batches = setup
+    # build per-(layer, fold) PCA pickles from random orthonormal bases
+    pca_dir = tmp_path / "pca" / "TESTDS"
+    pca_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for fold in range(2):
+        q, _ = np.linalg.qr(rng.standard_normal((32, 32)))
+        pca_ops.pca_save(
+            str(pca_dir / f"layer_0_evalfold_{fold}"),
+            {"components": q, "mean": np.zeros(32)},
+        )
+    folds = [(make_batches(10 + i), make_batches(20 + i)) for i in range(2)]
+    results = train_residual.train_and_evaluate_residual(
+        params, CFG, "TESTDS", folds, text_embeds,
+        str(tmp_path / "pca"), str(tmp_path / "out"), epochs=1, lr=0.01,
+    )
+    assert len(results) == 2
+    for i in range(2):
+        f = np.load(tmp_path / "out" / "TESTDS" / "ResiDual" / f"layers_0_evalfold_{i}.npz")
+        assert set(f.files) == {"similarities", "predictions", "targets"}
+        assert (tmp_path / "out" / "TESTDS" / "ResiDual" / f"lambda_layer0_evalfold_{i}.pkl").exists()
+
+
+def test_linear_probe_end_to_end(setup, tmp_path):
+    params, _, make_batches = setup
+    folds = [(make_batches(1, n_batches=3, bs=8), make_batches(2))]
+    results = linear_probe.train_and_eval_linear_head(
+        params, CFG, "TESTDS", folds, N_CLASSES, str(tmp_path), epochs=10, lr=1e-2
+    )
+    assert len(results) == 1
+    f = np.load(tmp_path / "TESTDS" / "Linear" / "evalfold_0.npz")
+    sims = f["similarities"]
+    np.testing.assert_allclose(sims.sum(-1), 1.0, atol=1e-5)  # softmax rows
+
+
+def test_linear_head_learns_separable_data():
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((3, 16)) * 3
+    y = rng.integers(0, 3, 300)
+    x = (centers[y] + rng.standard_normal((300, 16)) * 0.1).astype(np.float32)
+    head, _ = linear_probe.train_linear_head(
+        jax.random.PRNGKey(0), x, y, 3, epochs=30, lr=5e-2
+    )
+    preds, _, _ = linear_probe.eval_linear_head(head, x, y)
+    assert (preds == y).mean() > 0.95
+
+
+def test_clip_loss_single_device(setup):
+    params, _, _ = setup
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((6, 32)).astype(np.float32)
+    t = rng.standard_normal((6, 32)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    t /= np.linalg.norm(t, axis=-1, keepdims=True)
+    outputs = {
+        "audio_features": jnp.asarray(a),
+        "text_features": jnp.asarray(t),
+        "audio_features_mlp": jnp.asarray(a * 0.5),
+        "text_features_mlp": jnp.asarray(t * 0.5),
+        "logit_scale_a": jnp.asarray(10.0),
+        "logit_scale_t": jnp.asarray(10.0),
+    }
+    l2 = losses.clip_loss(outputs)
+    l4 = losses.clip_loss(outputs, mlp_loss=True)
+    assert np.isfinite(float(l2)) and np.isfinite(float(l4))
+    # perfectly-aligned pairs with big scale -> near-zero loss
+    outputs2 = dict(outputs, text_features=jnp.asarray(a), logit_scale_a=jnp.asarray(100.0))
+    assert float(losses.clip_loss(outputs2)) < 0.01
+
+
+def test_cosine_lr_schedule():
+    sched = cosine_lr(1.0, warmup=10, total_steps=110)
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(9)) == pytest.approx(1.0)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(110)) == pytest.approx(0.0, abs=1e-6)
+    assert float(sched(60)) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_lp_loss_and_metrics():
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((20, 5)).astype(np.float32)
+    y = rng.integers(0, 5, 20)
+    assert np.isfinite(float(losses.lp_loss(jnp.asarray(logits), jnp.asarray(y), "ce")))
+    onehot = np.eye(5)[y].astype(np.float32)
+    assert np.isfinite(float(losses.lp_loss(jnp.asarray(logits), jnp.asarray(onehot), "bce")))
+    assert np.isfinite(float(losses.lp_loss(jnp.asarray(logits), jnp.asarray(onehot), "mse")))
+    m = losses.lp_metrics(jax.nn.softmax(jnp.asarray(logits)), y)
+    assert set(m) == {"acc", "map", "mauc"}
