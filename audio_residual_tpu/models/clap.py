@@ -12,6 +12,8 @@ fork's ``get_audio_output_dict`` tap access.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -73,6 +75,7 @@ def _proj_init(key, d_in, d_mid, d_out):
     }
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def init_clap_params(key: jax.Array, cfg: CLAPConfig = CLAPConfig()) -> dict:
     ka, kt, k1, k2, k3, k4 = jax.random.split(key, 6)
     j = cfg.joint_embed_shape

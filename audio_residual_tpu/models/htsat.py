@@ -25,6 +25,7 @@ Shapes for HTSAT-tiny on a 10 s / 48 kHz clip: wav [B, 480000] -> logmel
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import Any
@@ -33,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio_residual_tpu.ops import frontend, interpolate, windows
+from audio_residual_tpu.ops import frontend, fusion as fusion_ops, interpolate, windows
 from audio_residual_tpu.ops.spec_augment import spec_augment
 
 __all__ = ["HTSATConfig", "init_htsat_params", "htsat_apply", "HTSAT_VARIANTS"]
@@ -141,8 +142,12 @@ def _layer_norm(dim):
     return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def init_htsat_params(key: jax.Array, cfg: HTSATConfig) -> dict:
-    """Fresh parameter pytree (trunc-normal linears, unit LN — `htsat.py:761-768`)."""
+    """Fresh parameter pytree (trunc-normal linears, unit LN — `htsat.py:761-768`).
+
+    Jitted: eager per-tensor RNG dispatch costs ~0.5 s/op through a remote
+    device tunnel; one fused program initialises everything."""
     keys = iter(jax.random.split(key, 512))
     params: dict = {}
 
@@ -154,12 +159,17 @@ def init_htsat_params(key: jax.Array, cfg: HTSATConfig) -> dict:
     }
 
     # patch embed: conv K=4 S=4; kernel layout HWIO
-    fan_in = cfg.in_chans * cfg.patch_size * cfg.patch_size
+    # channel_map fusion stacks the 4 mel channels into the conv input
+    # (`htsat.py:94-97`)
+    in_ch = cfg.in_chans * (
+        4 if cfg.enable_fusion and cfg.fusion_type == "channel_map" else 1
+    )
+    fan_in = in_ch * cfg.patch_size * cfg.patch_size
     params["patch_embed"] = {
         "proj": {
             "kernel": jax.random.uniform(
                 next(keys),
-                (cfg.patch_size, cfg.patch_size, cfg.in_chans, cfg.embed_dim),
+                (cfg.patch_size, cfg.patch_size, in_ch, cfg.embed_dim),
                 minval=-1.0, maxval=1.0,
             ) * math.sqrt(1.0 / fan_in),
             "bias": jnp.zeros((cfg.embed_dim,)),
@@ -211,6 +221,45 @@ def init_htsat_params(key: jax.Array, cfg: HTSATConfig) -> dict:
         "bias": jnp.zeros((cfg.num_classes,)),
     }
     params["head"] = _linear(next(keys), cfg.num_classes, cfg.num_classes)
+
+    if cfg.enable_fusion and cfg.fusion_type in ("daf_1d", "aff_1d", "iaff_1d"):
+        # mel_conv1d: Conv1d(64, 64, k=5, s=3, p=2) + BN (`htsat.py:747-751`)
+        fan_in = cfg.mel_bins * 5
+        params["mel_conv1d"] = {
+            "conv": {
+                "kernel": jax.random.uniform(
+                    next(keys), (5, cfg.mel_bins, cfg.mel_bins), minval=-1.0, maxval=1.0
+                ) * math.sqrt(1.0 / fan_in),
+                "bias": jnp.zeros((cfg.mel_bins,)),
+            },
+            "bn": {
+                "scale": jnp.ones((cfg.mel_bins,)), "bias": jnp.zeros((cfg.mel_bins,)),
+                "mean": jnp.zeros((cfg.mel_bins,)), "var": jnp.ones((cfg.mel_bins,)),
+            },
+        }
+        if cfg.fusion_type == "aff_1d":
+            params["fusion_model"] = fusion_ops.init_aff_params(next(keys), cfg.mel_bins, kind="1D")
+        elif cfg.fusion_type == "iaff_1d":
+            params["fusion_model"] = fusion_ops.init_iaff_params(next(keys), cfg.mel_bins, kind="1D")
+    if cfg.enable_fusion and cfg.fusion_type in ("daf_2d", "aff_2d", "iaff_2d"):
+        # mel_conv2d inside PatchEmbed: kernel (P, 3P), stride (S, 3S)
+        # (`htsat.py:101`)
+        ks = (cfg.patch_size, cfg.patch_size * 3)
+        fan_in = cfg.in_chans * ks[0] * ks[1]
+        params["patch_embed"]["mel_conv2d"] = {
+            "kernel": jax.random.uniform(
+                next(keys), (*ks, cfg.in_chans, cfg.embed_dim), minval=-1.0, maxval=1.0
+            ) * math.sqrt(1.0 / fan_in),
+            "bias": jnp.zeros((cfg.embed_dim,)),
+        }
+        if cfg.fusion_type == "aff_2d":
+            params["patch_embed"]["fusion_model"] = fusion_ops.init_aff_params(
+                next(keys), cfg.embed_dim, kind="2D"
+            )
+        elif cfg.fusion_type == "iaff_2d":
+            params["patch_embed"]["fusion_model"] = fusion_ops.init_iaff_params(
+                next(keys), cfg.embed_dim, kind="2D"
+            )
     return params
 
 
@@ -375,23 +424,99 @@ def reshape_wav2img(x: jnp.ndarray, cfg: HTSATConfig) -> jnp.ndarray:
     return x[..., None]  # NHWC, H = chunk-major freq axis, W = time
 
 
-def _patch_embed(p, x, cfg: HTSATConfig):
-    """Conv patch embedding (`htsat.py:108-144`): 4x4/4 conv -> [B, N, C] -> LN."""
-    y = jax.lax.conv_general_dilated(
+def _proj_conv(p, x, cfg: HTSATConfig):
+    return jax.lax.conv_general_dilated(
         x,
-        p["proj"]["kernel"].astype(x.dtype),
+        p["kernel"].astype(x.dtype),
         window_strides=cfg.patch_stride,
         padding=[
             ((cfg.patch_size - cfg.patch_stride[0]) // 2,) * 2,
             ((cfg.patch_size - cfg.patch_stride[1]) // 2,) * 2,
         ],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + p["proj"]["bias"]
+    ) + p["bias"]
+
+
+def _patch_embed(p, x, cfg: HTSATConfig, longer=None):
+    """Conv patch embedding (`htsat.py:108-144`): 4x4/4 conv -> [B, N, C] -> LN.
+
+    With 2-D fusion (`htsat.py:100-134`): channel 0 is the global mel, channels
+    1:4 are local chunks run through ``mel_conv2d`` (kernel (P, 3P), stride
+    (S, 3S)), time-concatenated, and fused into the global patches via
+    DAF/AFF/iAFF where ``longer`` is set (masked select — static shapes).
+    """
+    fusion_2d = cfg.enable_fusion and cfg.fusion_type in ("daf_2d", "aff_2d", "iaff_2d")
+    if not fusion_2d:
+        y = _proj_conv(p["proj"], x, cfg)
+    else:
+        b = x.shape[0]
+        global_y = _proj_conv(p["proj"], x[..., 0:1], cfg)  # [B, H', W', C]
+        _, hh, ww, cc = global_y.shape
+        local = x[..., 1:]  # [B, H, W, 3]
+        local = local.transpose(0, 3, 1, 2).reshape(b * 3, *x.shape[1:3], 1)
+        ly = jax.lax.conv_general_dilated(
+            local,
+            p["mel_conv2d"]["kernel"].astype(x.dtype),
+            window_strides=(cfg.patch_stride[0], cfg.patch_stride[1] * 3),
+            padding=[
+                ((cfg.patch_size - cfg.patch_stride[0]) // 2,) * 2,
+                ((cfg.patch_size - cfg.patch_stride[1]) // 2,) * 2,
+            ],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["mel_conv2d"]["bias"]
+        _, lh, lw, lc = ly.shape
+        # [B, 3, lh, lw, C] -> chunk-concat along width (`htsat.py:126`)
+        ly = ly.reshape(b, 3, lh, lw, lc).transpose(0, 2, 1, 3, 4).reshape(b, lh, 3 * lw, lc)
+        if 3 * lw < ww:
+            ly = jnp.pad(ly, ((0, 0), (0, 0), (0, ww - 3 * lw), (0, 0)))
+        else:
+            ly = ly[:, :, :ww]
+        if cfg.fusion_type == "daf_2d":
+            fused = fusion_ops.daf(global_y, ly)
+        elif cfg.fusion_type == "aff_2d":
+            fused = fusion_ops.aff(p["fusion_model"], global_y, ly, kind="2D")
+        else:
+            fused = fusion_ops.iaff(p["fusion_model"], global_y, ly, kind="2D")
+        if longer is None:
+            y = fused
+        else:
+            y = jnp.where(longer[:, None, None, None], fused, global_y)
     b, h, w, c = y.shape
     y = y.reshape(b, h * w, c)
     if p["norm"] is not None:
         y = _apply_ln(p["norm"], y)
     return y
+
+
+def _fuse_1d(params, mel, longer, cfg: HTSATConfig):
+    """1-D mel fusion before patch embed (`htsat.py:918-938`): local chunks
+    through Conv1d(64, 64, k5, s3, p2)+BN, time-concatenated, padded to T,
+    fused into the global mel along the mel-bin channel axis."""
+    b, _, t, f = mel.shape
+    global_mel = mel[:, 0]  # [B, T, F]
+    local = mel[:, 1:].reshape(b * 3, t, f)  # NWC: W=T, C=F
+    mp = params["mel_conv1d"]
+    ly = jax.lax.conv_general_dilated(
+        local, mp["conv"]["kernel"].astype(mel.dtype), window_strides=(3,),
+        padding=[(2, 2)], dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + mp["conv"]["bias"]
+    bn = mp["bn"]
+    ly = (ly - bn["mean"]) * jax.lax.rsqrt(bn["var"] + 1e-5) * bn["scale"] + bn["bias"]
+    tp = ly.shape[1]
+    ly = ly.reshape(b, 3, tp, f).reshape(b, 3 * tp, f)  # chunk-concat on time
+    if 3 * tp < t:
+        ly = jnp.pad(ly, ((0, 0), (0, t - 3 * tp), (0, 0)))
+    else:
+        ly = ly[:, :t]
+    if cfg.fusion_type == "daf_1d":
+        fused = fusion_ops.daf(global_mel, ly)
+    elif cfg.fusion_type == "aff_1d":
+        fused = fusion_ops.aff(params["fusion_model"], global_mel, ly, kind="1D")
+    else:
+        fused = fusion_ops.iaff(params["fusion_model"], global_mel, ly, kind="1D")
+    if longer is None:
+        return fused
+    return jnp.where(longer[:, None, None], fused, global_mel)
 
 
 def htsat_apply(
@@ -426,6 +551,7 @@ def htsat_apply(
     from audio_residual_tpu.residual.module import residual_apply
 
     fused_input = isinstance(batch, dict) and "mel_fusion" in batch
+    longer = batch.get("longer") if isinstance(batch, dict) else None
 
     if not fused_input:
         wav = batch["waveform"] if isinstance(batch, dict) else batch
@@ -439,11 +565,28 @@ def htsat_apply(
     else:
         mel = batch["mel_fusion"]  # [B, 4, T, F]
         mel, _ = frontend.batch_norm_mel(mel, params["bn0"], train=False)
-        # non-fusion-model handling of fusion input: use the global channel
-        x = reshape_wav2img(mel[:, 0], cfg)
+        if cfg.enable_fusion and cfg.fusion_type in ("daf_1d", "aff_1d", "iaff_1d"):
+            x1d = _fuse_1d(params, mel, longer, cfg)  # [B, T, F]
+            if train and rng is not None:
+                rng, arng = jax.random.split(rng)
+                x1d = spec_augment(arng, x1d)
+            x = reshape_wav2img(x1d, cfg)
+        elif cfg.enable_fusion and cfg.fusion_type in (
+            "daf_2d", "aff_2d", "iaff_2d", "channel_map",
+        ):
+            if train and rng is not None:
+                rng, arng = jax.random.split(rng)
+                mel = spec_augment(arng, mel.reshape(-1, *mel.shape[2:])).reshape(mel.shape)
+            # all 4 channels to the image plane (`htsat.py:948`)
+            b, c, t, f = mel.shape
+            x = reshape_wav2img(mel.reshape(b * c, t, f), cfg)  # [B*4, H, W, 1]
+            x = x[..., 0].reshape(b, c, *x.shape[1:3]).transpose(0, 2, 3, 1)  # NHWC, C=4
+        else:
+            # non-fusion model given fusion input: use the global channel
+            x = reshape_wav2img(mel[:, 0], cfg)
 
     frames_num = x.shape[1]
-    x = _patch_embed(params["patch_embed"], x, cfg)
+    x = _patch_embed(params["patch_embed"], x, cfg, longer=longer)
 
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

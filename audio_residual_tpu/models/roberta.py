@@ -13,6 +13,8 @@ intermediate, vocab 50265, learned positions with padding-offset ids
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 from typing import Any
 
@@ -47,6 +49,7 @@ def _dense(key, d_in, d_out, std=0.02):
     }
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def init_roberta_params(key: jax.Array, cfg: RobertaConfig = RobertaConfig()) -> dict:
     keys = iter(jax.random.split(key, 8 + 8 * cfg.num_layers))
     d = cfg.hidden_size

@@ -1,0 +1,173 @@
+"""User-facing convenience wrapper — the `hook.py:21-218` ``CLAP_Module``
+equivalent.
+
+Differences by design (TPU-first):
+  * embedding calls are whole-batch jitted programs (featurize + encode +
+    project in one XLA program) instead of the reference's per-sample host
+    loop (`hook.py:174-188`, the dominant CPU cost in SURVEY.md §3.1);
+  * batch shapes are bucketed to powers of two to bound recompilation;
+  * ``get_audio_output_dict`` exposes the representation taps directly.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_residual_tpu.data.featurize import featurize_batch, get_audio_features
+from audio_residual_tpu.models import clap as clap_mod
+from audio_residual_tpu.models import factory
+from audio_residual_tpu.ops.quantize import quantize_roundtrip
+from audio_residual_tpu.utils.tokenizer import load_default_tokenizer
+
+__all__ = ["CLAPModule", "DOWNLOAD_NAMES"]
+
+DOWNLOAD_LINK = "https://huggingface.co/lukewys/laion_clap/resolve/main/"
+DOWNLOAD_NAMES = [
+    "630k-best.pt",
+    "630k-audioset-best.pt",
+    "630k-fusion-best.pt",
+    "630k-audioset-fusion-best.pt",
+]
+
+
+class CLAPModule:
+    """``CLAPModule(enable_fusion=False, amodel='HTSAT-tiny', tmodel='roberta')``.
+
+    Mirrors `hook.py:21-62`: non-fusion models use fusion_type 'None',
+    fusion models 'aff_2d'.
+    """
+
+    def __init__(
+        self,
+        enable_fusion: bool = False,
+        amodel: str = "HTSAT-tiny",
+        tmodel: str = "roberta",
+        *,
+        seed: int = 0,
+        tokenizer=None,
+    ):
+        fusion_type = "aff_2d" if enable_fusion else "None"
+        self.enable_fusion = enable_fusion
+        self.params, self.cfg, self.model_cfg = factory.create_model(
+            amodel, tmodel, enable_fusion=enable_fusion, fusion_type=fusion_type, seed=seed
+        )
+        self.amodel = amodel
+        self.tokenize = tokenizer or load_default_tokenizer(self.cfg.context_length)
+        self._embed_cache: dict = {}
+
+    def tokenizer(self, text):
+        """`hook.py:64-73` contract: dict with input_ids/attention_mask."""
+        return self.tokenize(text)
+
+    # -- checkpoints --------------------------------------------------------
+
+    def load_ckpt(self, ckpt: str | None = None, model_id: int = -1, verbose: bool = True):
+        """Load a pretrained checkpoint (`hook.py:75-119`). If ``ckpt`` is
+        None, resolves the published checkpoint name for this model and looks
+        for it next to this package (downloading requires network egress)."""
+        if ckpt is None:
+            if model_id == -1:
+                model_id = 3 if self.enable_fusion else 1
+            name = DOWNLOAD_NAMES[model_id]
+            ckpt = os.path.join(os.path.dirname(os.path.realpath(__file__)), name)
+            if not os.path.exists(ckpt):
+                try:
+                    import urllib.request
+
+                    logging.info("Downloading %s ...", name)
+                    urllib.request.urlretrieve(DOWNLOAD_LINK + name, ckpt)
+                except Exception as e:
+                    raise FileNotFoundError(
+                        f"checkpoint {name} not found at {ckpt} and download "
+                        f"failed ({e}); place the file there or pass ckpt="
+                    ) from e
+        logging.info("Load checkpoint %s", ckpt)
+        self.params = factory.load_checkpoint_params(ckpt, self.cfg)
+        self._embed_cache.clear()
+        if verbose:
+            logging.info("Loaded checkpoint into %s", self.amodel)
+        return self
+
+    # -- embedding ----------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def _audio_fn(self, shape_key, *, quantize: bool, taps=(), residual=None):
+        key = ("audio", shape_key, quantize, taps, residual is not None)
+        if key not in self._embed_cache:
+            cfg = self.cfg
+
+            @jax.jit
+            def f(params, wav):
+                w = quantize_roundtrip(wav) if quantize else wav
+                batch = featurize_batch(w, cfg.audio.clip_samples)
+                return clap_mod.encode_audio(params, batch, cfg, taps=taps, residual=residual)
+
+            self._embed_cache[key] = f
+        return self._embed_cache[key]
+
+    def _run_audio_batched(self, x: np.ndarray, *, quantize: bool, taps=(), residual=None):
+        n, t = x.shape
+        b = self._bucket(n)
+        if b != n:
+            x = np.concatenate([x, np.zeros((b - n, t), x.dtype)])
+        out = self._audio_fn((b, t), quantize=quantize, taps=taps, residual=residual)(
+            self.params, jnp.asarray(x)
+        )
+        return jax.tree.map(lambda a: a[:n], out)
+
+    def get_audio_embedding_from_data(self, x, use_tensor: bool = False):
+        """`hook.py:158-191`: (N, T) waveforms -> (N, 512) normalised
+        embeddings. ``use_tensor=False`` applies the int16 round-trip and
+        returns numpy; ``use_tensor=True`` keeps jax arrays (differentiable
+        path)."""
+        x = np.asarray(x, np.float32) if not isinstance(x, jnp.ndarray) else x
+        out = self._run_audio_batched(np.asarray(x, np.float32), quantize=not use_tensor)
+        emb = out["normalized"]
+        return emb if use_tensor else np.asarray(emb)
+
+    def get_audio_embedding_from_filelist(self, x: list[str], use_tensor: bool = False):
+        """`hook.py:121-156`: decode files at 48k, int16 round-trip, embed."""
+        from audio_residual_tpu.data.datasets import load_wav
+
+        target_len = self.cfg.audio.clip_samples
+        wavs = []
+        for f in x:
+            w, _ = load_wav(f, target_sr=self.cfg.audio.sample_rate)
+            s = get_audio_features(
+                {}, w, max_len=target_len,
+                data_truncating="fusion" if self.enable_fusion else "rand_trunc",
+                data_filling="repeatpad",
+                audio_cfg=self.model_cfg["audio_cfg"],
+            )
+            wavs.append(s["waveform"])
+        return self.get_audio_embedding_from_data(np.stack(wavs), use_tensor=use_tensor)
+
+    def get_audio_output_dict(self, x, taps=("attention", "residual"), residual=None):
+        """The fork's tap access (`model.py:745-762`): full audio-branch
+        output dict including ``layers_attention`` / ``layers_residuals``."""
+        return self._run_audio_batched(
+            np.asarray(x, np.float32), quantize=True, taps=taps, residual=residual
+        )
+
+    def get_text_embedding(self, x, tokenizer=None, use_tensor: bool = False):
+        """`hook.py:194-218`: texts -> (N, 512) normalised embeddings."""
+        tok = tokenizer or self.tokenize
+        enc = tok(x)
+        emb = clap_mod.encode_text(
+            self.params,
+            jnp.asarray(enc["input_ids"]),
+            jnp.asarray(enc["attention_mask"]),
+            self.cfg,
+        )
+        return emb if use_tensor else np.asarray(emb)

@@ -1,0 +1,151 @@
+"""CLI flag system.
+
+Reference: `training/params.py:13-567` — one argparse parser shared by the
+training/eval CLIs (~80 flags across data / optimization / model /
+distributed / precision / checkpointing / eval / linear-probe / augmentation /
+reporting groups), with model-dependent lr defaults (`:4-10`) backfilled
+post-parse (`:561-566`).
+
+Flags that configured torch-specific machinery (NCCL backend selection,
+horovod, AMP grad scaler) are kept as accepted-but-informational so existing
+launch scripts parse cleanly; their TPU-native behaviour is documented per
+flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+__all__ = ["parse_args", "get_default_params"]
+
+
+def get_default_params(model_name: str) -> dict:
+    """Model-dependent optimizer defaults (`params.py:4-10`)."""
+    model_name = model_name.lower()
+    if "vit" in model_name:
+        return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.98, "eps": 1.0e-6}
+    return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.999, "eps": 1.0e-8}
+
+
+def parse_args(args=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser("audio-residual-tpu training")
+
+    # data
+    p.add_argument("--train-data", type=str, default=None, help="webdataset tar paths / dirs")
+    p.add_argument("--val-data", type=str, default=None)
+    p.add_argument("--train-num-samples", type=int, default=None)
+    p.add_argument("--val-num-samples", type=int, default=None)
+    p.add_argument("--dataset-type", choices=["webdataset", "csv", "auto", "toy"], default="auto")
+    p.add_argument("--datasetnames", nargs="+", default=None)
+    p.add_argument("--datasetinfos", nargs="+", default=None)
+    p.add_argument("--dataset-proportion", type=float, default=1.0)
+    p.add_argument("--datasetpath", type=str, default=None)
+    p.add_argument("--remotedata", action="store_true", default=False)
+    p.add_argument("--class-label-path", type=str, default=None)
+    p.add_argument("--workers", type=int, default=1)
+
+    # model
+    p.add_argument("--amodel", type=str, default="HTSAT-tiny")
+    p.add_argument("--tmodel", type=str, default="roberta",
+                   choices=["transformer", "bert", "roberta", "bart"])
+    p.add_argument("--pretrained", type=str, default="")
+    p.add_argument("--pretrained-audio", type=str, default="")
+    p.add_argument("--pretrained-text", type=str, default="")
+    p.add_argument("--freeze-text", action="store_true", default=False)
+    p.add_argument("--freeze-text-after", type=int, default=-1)
+    p.add_argument("--enable-fusion", action="store_true", default=False)
+    p.add_argument("--fusion-type", type=str, default="None",
+                   choices=["None", "daf_1d", "aff_1d", "iaff_1d", "daf_2d", "aff_2d", "iaff_2d", "channel_map"])
+
+    # optimization
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=32)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--beta1", type=float, default=None)
+    p.add_argument("--beta2", type=float, default=None)
+    p.add_argument("--eps", type=float, default=None)
+    p.add_argument("--wd", type=float, default=0.2)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--warmup", type=int, default=10000)
+    p.add_argument("--optimizer", type=str, default="adamw", choices=["adamw", "sgd", "adam"])
+    p.add_argument("--split-opt", action="store_true", default=False,
+                   help="separate optimizer groups for pretrained vs new params")
+    for pg in ("pretrained", "new"):
+        p.add_argument(f"--lr-{pg}", type=float, default=None)
+        p.add_argument(f"--beta1-{pg}", type=float, default=None)
+        p.add_argument(f"--beta2-{pg}", type=float, default=None)
+        p.add_argument(f"--eps-{pg}", type=float, default=None)
+        p.add_argument(f"--wd-{pg}", type=float, default=0.2)
+
+    # loss
+    p.add_argument("--mlp-loss", action="store_true", default=False, help="4-term loss")
+    p.add_argument("--local-loss", action="store_true", default=False)
+    p.add_argument("--gather-with-grad", action="store_true", default=True,
+                   help="always true on TPU: all_gather differentiates")
+    p.add_argument("--kappa", type=float, default=0.0, help="weighted-loss kappa")
+    p.add_argument("--clap-mlploss", action="store_true", default=False)
+
+    # augmentation
+    p.add_argument("--mixup", action="store_true", default=False)
+    p.add_argument("--text-augment-selection", type=str, default=None)
+    p.add_argument("--data-filling", type=str, default="pad",
+                   choices=["repeatpad", "pad", "repeat"])
+    p.add_argument("--data-truncating", type=str, default="rand_trunc",
+                   choices=["rand_trunc", "fusion"])
+
+    # checkpointing / logging
+    p.add_argument("--logs", type=str, default="./logs/")
+    p.add_argument("--log-local", action="store_true", default=False)
+    p.add_argument("--name", type=str, default=None)
+    p.add_argument("--save-frequency", type=int, default=1)
+    p.add_argument("--save-top-performance", type=int, default=0)
+    p.add_argument("--save-most-recent", action="store_true", default=False)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--copy-codebase", action="store_true", default=False)
+
+    # eval
+    p.add_argument("--val-frequency", type=int, default=1)
+    p.add_argument("--zeroshot-frequency", type=int, default=2)
+    p.add_argument("--parallel-eval", action="store_true", default=False)
+    p.add_argument("--no-eval", action="store_true", default=False)
+    p.add_argument("--top-k-checkpoint-select-dataset", type=str, default="all")
+    p.add_argument("--top-k-checkpoint-select-metric", type=str, default="_R@10")
+
+    # precision: TPU-native is bf16 matmuls + f32 params; no grad scaler
+    p.add_argument("--precision", type=str, default="amp",
+                   choices=["amp", "fp16", "fp32", "bf16"],
+                   help="amp/bf16 -> bf16 MXU compute; fp16/fp32 -> f32")
+
+    # distributed (informational on TPU; the mesh covers all of these)
+    p.add_argument("--dist-url", type=str, default="env://")
+    p.add_argument("--dist-backend", type=str, default="nccl",
+                   help="ignored: TPU uses XLA collectives over ICI/DCN")
+    p.add_argument("--horovod", action="store_true", default=False, help="ignored on TPU")
+    p.add_argument("--ddp-static-graph", action="store_true", default=False, help="ignored")
+    p.add_argument("--no-set-device-rank", action="store_true", default=False)
+    p.add_argument("--use-bn-sync", action="store_true", default=False,
+                   help="BN stats are computed over the global batch under pjit")
+
+    # linear probe
+    p.add_argument("--lp-mlp", action="store_true", default=False)
+    p.add_argument("--lp-freeze", action="store_true", default=False)
+    p.add_argument("--lp-act", type=str, default="None")
+    p.add_argument("--lp-loss", type=str, default="bce", choices=["bce", "ce", "mse"])
+    p.add_argument("--lp-metrics", type=str, default="map,mauc,acc")
+    p.add_argument("--lp-lr", type=float, default=1e-4)
+
+    # reporting
+    p.add_argument("--report-to", type=str, default="")
+    p.add_argument("--wandb-notes", type=str, default="")
+    p.add_argument("--wandb-id", type=str, default=None)
+    p.add_argument("--debug", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=4242)
+
+    ns = p.parse_args(args)
+
+    # model-dependent defaults backfill (`params.py:561-566`)
+    defaults = get_default_params(ns.amodel)
+    for k, v in defaults.items():
+        if getattr(ns, k) is None:
+            setattr(ns, k, v)
+    return ns

@@ -111,7 +111,7 @@ def _load_ref_package():
     pkg.__path__ = [REF_DIR]
     pkg.__package__ = "ref_clap"
     sys.modules["ref_clap"] = pkg
-    for name in ("utils", "feature_fusion", "htsat"):
+    for name in ("utils", "feature_fusion", "htsat", "pann_model"):
         spec = importlib.util.spec_from_file_location(
             f"ref_clap.{name}", f"{REF_DIR}/{name}.py",
             submodule_search_locations=None,
@@ -201,6 +201,58 @@ def load_jax_params_into_reference(model: nn.Module, params: dict) -> None:
     # buffers the torch model generates itself (DSP bases, masks, indices)
     allowed = ("spectrogram_extractor", "logmel_extractor", "window_t", "melW",
                "attn_mask", "relative_position_index")
+    bad = [m for m in missing if not any(a in m for a in allowed)]
+    assert not bad, f"missing keys: {bad}"
+    assert not unexpected, f"unexpected keys: {unexpected}"
+
+
+def build_reference_pann(model_name: str = "Cnn14", **cfg_overrides) -> nn.Module:
+    """Instantiate a reference PANN model (Cnn6/Cnn10/Cnn14)."""
+    pkg = _load_ref_package()
+    audio_cfg = _AudioCfg(model_type="PANN", model_name=model_name, **cfg_overrides)
+    cls = getattr(pkg.pann_model, model_name)
+    model = cls(
+        sample_rate=audio_cfg.sample_rate, window_size=audio_cfg.window_size,
+        hop_size=audio_cfg.hop_size, mel_bins=audio_cfg.mel_bins,
+        fmin=audio_cfg.fmin, fmax=audio_cfg.fmax, classes_num=audio_cfg.class_num,
+        enable_fusion=False, fusion_type="None",
+    )
+    model.eval()
+    return model
+
+
+def pann_params_to_torch_state(params: dict) -> dict[str, torch.Tensor]:
+    """Our PANN pytree -> reference state_dict (eval-path params only)."""
+    sd: dict[str, torch.Tensor] = {}
+
+    def T(x):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
+
+    def bn(dst, p):
+        sd[dst + ".weight"] = T(p["scale"])
+        sd[dst + ".bias"] = T(p["bias"])
+        sd[dst + ".running_mean"] = T(p["mean"])
+        sd[dst + ".running_var"] = T(p["var"])
+
+    bn("bn0", params["bn0"])
+    for i, blk in enumerate(params["conv_blocks"]):
+        base = f"conv_block{i+1}"
+        sd[base + ".conv1.weight"] = T(blk["conv1"]["kernel"]).permute(3, 2, 0, 1).contiguous()
+        bn(base + ".bn1", blk["bn1"])
+        if "conv2" in blk:
+            sd[base + ".conv2.weight"] = T(blk["conv2"]["kernel"]).permute(3, 2, 0, 1).contiguous()
+            bn(base + ".bn2", blk["bn2"])
+    for name in ("fc1", "fc_audioset"):
+        sd[name + ".weight"] = T(params[name]["kernel"]).T.contiguous()
+        sd[name + ".bias"] = T(params[name]["bias"])
+    return sd
+
+
+def load_jax_params_into_reference_pann(model: nn.Module, params: dict) -> None:
+    sd = pann_params_to_torch_state(params)
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    allowed = ("spectrogram_extractor", "logmel_extractor", "window_t", "melW",
+               "num_batches_tracked")
     bad = [m for m in missing if not any(a in m for a in allowed)]
     assert not bad, f"missing keys: {bad}"
     assert not unexpected, f"unexpected keys: {unexpected}"

@@ -1,0 +1,158 @@
+"""Public API tests: factory registry, CLAPModule surface, tokenizers,
+checkpoint converter round-trip."""
+
+import json
+
+import numpy as np
+import pytest
+import torch
+
+from audio_residual_tpu.models import convert, factory
+from audio_residual_tpu.utils.tokenizer import ClipBPETokenizer, HashTokenizer
+
+
+def test_list_models_registry():
+    factory._rescan()
+    models = factory.list_models()
+    for name in ("HTSAT-tiny", "HTSAT-base", "HTSAT-large", "PANN-6", "PANN-10", "PANN-14"):
+        assert name in models, models
+    cfg = factory.get_model_config("HTSAT-tiny")
+    assert cfg["embed_dim"] == 768
+    assert cfg["audio_cfg"]["hop_size"] == 480
+
+
+def test_add_model_config(tmp_path):
+    cfg = factory.get_model_config("HTSAT-tiny")
+    cfg["embed_dim"] = 123
+    p = tmp_path / "My-Model.json"
+    p.write_text(json.dumps(cfg))
+    factory.add_model_config(str(p))
+    assert "My-Model" in factory.list_models()
+    assert factory.get_model_config("My-Model")["embed_dim"] == 123
+    factory._CONFIG_DIRS.pop()
+    factory._rescan()
+
+
+def test_create_model_unknown_raises():
+    with pytest.raises(RuntimeError, match="not found"):
+        factory.create_model("No-Such-Model")
+
+
+def test_clap_ckpt_convert_roundtrip(rng):
+    """Full checkpoint converter: build a torch-layout state dict from our
+    reverse converter (HTSAT) + HF roberta + projection heads, convert it
+    forward, and check tree equality with the source params."""
+    import jax
+
+    from tests.tiny import TINY_CLAP
+    from tests import reference_oracle as oracle
+    from audio_residual_tpu.models.clap import init_clap_params
+
+    params = jax.tree.map(np.asarray, init_clap_params(jax.random.PRNGKey(0), TINY_CLAP))
+
+    sd = {}
+    sd.update(oracle.jax_params_to_torch_state(params["audio_branch"], prefix="audio_branch."))
+    # roberta subtree (reverse of convert_roberta_state_dict)
+    rb = params["text_branch"]
+    sd["text_branch.embeddings.word_embeddings.weight"] = torch.from_numpy(rb["embeddings"]["word"])
+    sd["text_branch.embeddings.position_embeddings.weight"] = torch.from_numpy(rb["embeddings"]["position"])
+    sd["text_branch.embeddings.token_type_embeddings.weight"] = torch.from_numpy(rb["embeddings"]["token_type"])
+    sd["text_branch.embeddings.LayerNorm.weight"] = torch.from_numpy(rb["embeddings"]["ln"]["scale"])
+    sd["text_branch.embeddings.LayerNorm.bias"] = torch.from_numpy(rb["embeddings"]["ln"]["bias"])
+    for i, lp in enumerate(rb["layers"]):
+        base = f"text_branch.encoder.layer.{i}."
+        for src, dst in (("q", "attention.self.query"), ("k", "attention.self.key"),
+                         ("v", "attention.self.value"), ("out", "attention.output.dense")):
+            sd[base + dst + ".weight"] = torch.from_numpy(lp["attn"][src]["kernel"].T.copy())
+            sd[base + dst + ".bias"] = torch.from_numpy(lp["attn"][src]["bias"])
+        sd[base + "attention.output.LayerNorm.weight"] = torch.from_numpy(lp["ln1"]["scale"])
+        sd[base + "attention.output.LayerNorm.bias"] = torch.from_numpy(lp["ln1"]["bias"])
+        sd[base + "intermediate.dense.weight"] = torch.from_numpy(lp["mlp"]["fc1"]["kernel"].T.copy())
+        sd[base + "intermediate.dense.bias"] = torch.from_numpy(lp["mlp"]["fc1"]["bias"])
+        sd[base + "output.dense.weight"] = torch.from_numpy(lp["mlp"]["fc2"]["kernel"].T.copy())
+        sd[base + "output.dense.bias"] = torch.from_numpy(lp["mlp"]["fc2"]["bias"])
+        sd[base + "output.LayerNorm.weight"] = torch.from_numpy(lp["ln2"]["scale"])
+        sd[base + "output.LayerNorm.bias"] = torch.from_numpy(lp["ln2"]["bias"])
+    sd["text_branch.pooler.dense.weight"] = torch.from_numpy(rb["pooler"]["kernel"].T.copy())
+    sd["text_branch.pooler.dense.bias"] = torch.from_numpy(rb["pooler"]["bias"])
+    for name, idx in (("audio_projection", (0, 2)), ("text_projection", (0, 2)),
+                      ("audio_transform.sequential", (0, 3)), ("text_transform.sequential", (0, 3))):
+        key = name.split(".")[0]
+        sd[f"{name}.{idx[0]}.weight"] = torch.from_numpy(params[key]["fc1"]["kernel"].T.copy())
+        sd[f"{name}.{idx[0]}.bias"] = torch.from_numpy(params[key]["fc1"]["bias"])
+        sd[f"{name}.{idx[1]}.weight"] = torch.from_numpy(params[key]["fc2"]["kernel"].T.copy())
+        sd[f"{name}.{idx[1]}.bias"] = torch.from_numpy(params[key]["fc2"]["bias"])
+    sd["logit_scale_a"] = torch.tensor(float(params["logit_scale_a"]))
+    sd["logit_scale_t"] = torch.tensor(float(params["logit_scale_t"]))
+
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    restored = convert.convert_clap_state_dict(sd_np, depths=TINY_CLAP.audio.depths)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(restored)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda x: str(x[0])),
+                                  sorted(flat_b, key=lambda x: str(x[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
+
+
+def test_hash_tokenizer_contract():
+    tok = HashTokenizer()
+    out = tok(["hello world", "a"])
+    assert out["input_ids"].shape == (2, 77)
+    assert out["attention_mask"].shape == (2, 77)
+    assert out["input_ids"][0, 0] == 0  # <s>
+    assert out["attention_mask"][0].sum() == 4  # <s> hello world </s>
+    # deterministic
+    np.testing.assert_array_equal(tok("hello world")["input_ids"], out["input_ids"][:1])
+
+
+def test_byte_bpe_tokenizer_from_synthetic_vocab(tmp_path):
+    """Exercise the BPE machinery with a tiny synthetic vocab."""
+    from audio_residual_tpu.utils.tokenizer import ByteLevelBPETokenizer
+
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3,
+             "h": 4, "e": 5, "l": 6, "o": 7, "he": 8, "ll": 9, "hell": 10, "hello": 11,
+             "Ġ": 12, "Ġw": 13}
+    merges = "#version: 0.2\nh e\nl l\nhe ll\nhell o\nĠ w"
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(merges)
+    tok = ByteLevelBPETokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    out = tok("hello")
+    ids = out["input_ids"][0]
+    assert ids[0] == 0 and ids[2] == 2  # <s> hello </s>
+    assert ids[1] == 11  # merged to the single 'hello' token
+
+
+def test_clap_module_end_to_end_tiny(tmp_path):
+    """CLAPModule surface on a tiny registered config."""
+    import audio_residual_tpu.models.factory as fac
+    from audio_residual_tpu.module import CLAPModule
+
+    cfg = fac.get_model_config("HTSAT-tiny")
+    cfg["embed_dim"] = 64
+    cfg["audio_cfg"].update({"clip_samples": 24000, "mel_bins": 16, "class_num": 17,
+                             "model_name": "tiny-test"})
+    p = tmp_path / "HTSAT-tiny-test.json"
+    p.write_text(json.dumps(cfg))
+    fac.add_model_config(str(p))
+    # register a matching variant
+    from audio_residual_tpu.models.htsat import HTSAT_VARIANTS
+    HTSAT_VARIANTS["tiny-test"] = dict(embed_dim=32, depths=(1, 1), num_heads=(2, 4),
+                                       spec_size=64)
+    try:
+        m = CLAPModule(amodel="HTSAT-tiny-test", tokenizer=HashTokenizer(context_length=77))
+        rng = np.random.default_rng(0)
+        wav = (rng.standard_normal((3, 12000)) * 0.1).astype(np.float32)
+        emb = m.get_audio_embedding_from_data(wav)
+        assert emb.shape == (3, 512)  # joint space
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+        temb = m.get_text_embedding(["a dog barking", "rain falling"])
+        assert temb.shape == (2, 512)
+        out = m.get_audio_output_dict(wav)
+        assert "layers_attention" in out and "layers_residuals" in out
+    finally:
+        HTSAT_VARIANTS.pop("tiny-test")
+        fac._CONFIG_DIRS.pop()
+        fac._rescan()

@@ -1,0 +1,208 @@
+"""Auxiliary subsystem tests: checkpoints, logger, toy dataset, sharded
+ingestion, CLI flags, misc utils, evaluation CLIs."""
+
+import json
+import os
+import tarfile
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_residual_tpu.data import shards
+from audio_residual_tpu.data.toy import ToyDataset, make_toy_h5
+from audio_residual_tpu.training import checkpoints
+from audio_residual_tpu.training.logger import AverageMeter, JsonlWriter
+from audio_residual_tpu.training.params import parse_args
+from audio_residual_tpu.utils import misc
+from audio_residual_tpu.utils.tokenizer import HashTokenizer
+
+
+def test_parse_args_defaults():
+    a = parse_args([])
+    assert a.amodel == "HTSAT-tiny" and a.tmodel == "roberta"
+    assert a.lr == 5.0e-4  # backfilled model default
+    a2 = parse_args(["--amodel", "ViT-B-16"])
+    assert a2.beta2 == 0.98  # vit default
+
+
+def test_parse_args_reference_script_flags():
+    """Flags from the reference SLURM launch scripts parse cleanly."""
+    a = parse_args(
+        "--save-frequency 5 --save-top-performance 3 --save-most-recent "
+        "--dataset-type webdataset --datasetnames Clotho audiocaps "
+        "--batch-size 96 --lr 1e-4 --wd 0.0 --epochs 45 --workers 6 "
+        "--use-bn-sync --amodel HTSAT-tiny --tmodel roberta --warmup 3200 "
+        "--report-to wandb --datasetpath /mnt/audio_clip/webdataset_tar".split()
+    )
+    assert a.batch_size == 96 and a.epochs == 45 and a.datasetnames == ["Clotho", "audiocaps"]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)},
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    p = checkpoints.save_checkpoint(str(tmp_path), jax.device_get(state), epoch=3, name="t")
+    restored = checkpoints.load_checkpoint(p, jax.device_get(state))
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.arange(6.0).reshape(2, 3))
+    assert int(np.asarray(restored["step"])) == 7
+
+
+def test_top_k_rotation(tmp_path):
+    top_k = {0: -np.inf, 1: -np.inf, 2: -np.inf}
+    for metric in (0.5, 0.7, 0.6, 0.9, 0.4):
+        state = {"m": jnp.asarray(metric)}
+        top_k = checkpoints.update_top_k_performance(
+            metric, top_k, str(tmp_path), jax.device_get(state), base_name="perf"
+        )
+    np.testing.assert_allclose([top_k[0], top_k[1], top_k[2]], [0.9, 0.7, 0.6], rtol=1e-6)
+    best = checkpoints.load_checkpoint(os.path.join(str(tmp_path), "perf_0"),
+                                       {"m": jnp.asarray(0.0)})
+    np.testing.assert_allclose(float(np.asarray(best["m"])), 0.9, rtol=1e-6)
+
+
+def test_save_most_recent(tmp_path):
+    s1 = {"x": jnp.asarray(1.0)}
+    s2 = {"x": jnp.asarray(2.0)}
+    checkpoints.save_most_recent(str(tmp_path), jax.device_get(s1))
+    checkpoints.save_most_recent(str(tmp_path), jax.device_get(s2))
+    r = checkpoints.load_checkpoint(os.path.join(str(tmp_path), "epoch_latest"), jax.device_get(s1))
+    assert float(np.asarray(r["x"])) == 2.0
+
+
+def test_jsonl_and_meter(tmp_path):
+    w = JsonlWriter(str(tmp_path / "results.jsonl"))
+    w.write({"loss": 1.0})
+    w.write({"loss": 0.5})
+    lines = open(tmp_path / "results.jsonl").read().strip().split("\n")
+    assert len(lines) == 2 and json.loads(lines[1])["loss"] == 0.5
+    m = AverageMeter()
+    m.update(1.0, 2)
+    m.update(4.0, 2)
+    assert m.avg == 2.5
+
+
+def test_toy_dataset(tmp_path):
+    p = make_toy_h5(str(tmp_path / "toy.h5"), num_samples=20, num_classes=4, clip_samples=1000)
+    ds = ToyDataset(p, class_names=[f"c{i}" for i in range(4)])
+    assert len(ds) == 20
+    item = ds[0]
+    assert item["waveform"].shape == (1000,)
+    assert item["text"].startswith("The sounds of ")
+    batches = list(ds.batches(8))
+    assert batches[0]["waveform"].shape == (8, 1000)
+    # balanced queue regenerates differently per epoch
+    q1 = list(ds.queue)
+    ds.generate_queue()
+    assert q1 != ds.queue
+
+
+def _write_tar_shard(path, n, sr=8000, t=4000, seed=0):
+    rng = np.random.default_rng(seed)
+    with tarfile.open(path, "w") as tf:
+        import io
+
+        for i in range(n):
+            wav_buf = io.BytesIO()
+            with wave.open(wav_buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes((rng.standard_normal(t) * 3000).astype(np.int16).tobytes())
+            data = wav_buf.getvalue()
+            info = tarfile.TarInfo(f"sample_{i:03d}.wav")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            j = json.dumps({"text": f"sound number {i}"}).encode()
+            info = tarfile.TarInfo(f"sample_{i:03d}.json")
+            info.size = len(j)
+            tf.addfile(info, io.BytesIO(j))
+
+
+def test_sharded_pipeline(tmp_path):
+    d = tmp_path / "ds" / "train"
+    d.mkdir(parents=True)
+    _write_tar_shard(str(d / "shard_00.tar"), 6, seed=0)
+    _write_tar_shard(str(d / "shard_01.tar"), 6, seed=1)
+    (d / "sizes.json").write_text(json.dumps({"shard_00.tar": 6, "shard_01.tar": 6}))
+
+    paths, sizes = shards.resolve_tar_paths(str(tmp_path), ["ds"], "train")
+    assert len(paths) == 2 and sum(sizes.values()) == 12
+
+    pipe = shards.ShardedAudioText(
+        tar_paths=paths, tokenize=HashTokenizer(), batch_size=4, max_len=8000,
+        audio_cfg=dict(sample_rate=8000, window_size=256, hop_size=128, mel_bins=16, fmin=10, fmax=3000),
+    )
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["waveform"].shape == (4, 8000)
+    assert b["input_ids"].shape == (4, 77)
+    assert all(t.startswith("sound number") for t in b["text"])
+    # node split: 2 nodes each see one shard
+    pipe.num_nodes, pipe.node_rank = 2, 0
+    n0 = sum(b["waveform"].shape[0] for b in pipe.epoch(0))
+    pipe.node_rank = 1
+    n1 = sum(b["waveform"].shape[0] for b in pipe.epoch(0))
+    assert n0 + n1 == 12 and n0 == n1
+
+
+def test_sample_prop():
+    paths = [f"p{i}" for i in range(10)]
+    sizes = {p: 10 for p in paths}
+    sel, n = shards.sample_prop(paths, sizes, 0.3)
+    assert len(sel) == 3 and n == 30
+
+
+def test_mixup_semantics(rng):
+    x = jnp.asarray(rng.standard_normal((4, 5)).astype(np.float32))
+    lam = jnp.asarray([1.0, 0.0, 0.5, 1.0])
+    out = np.asarray(misc.do_mixup(x, lam))
+    np.testing.assert_allclose(out[0], np.asarray(x[0]), atol=1e-6)  # lam=1 -> itself
+    np.testing.assert_allclose(out[1], np.asarray(x[2]), atol=1e-6)  # lam=0 -> flipped partner
+
+
+def test_get_optimizer_mux():
+    for name in ("adamw", "adam", "sgd"):
+        opt = misc.get_optimizer(1e-3, name)
+        params = {"w": jnp.ones(3)}
+        state = opt.init(params)
+        updates, _ = opt.update({"w": jnp.ones(3)}, state, params)
+        assert jnp.all(jnp.isfinite(updates["w"]))
+    with pytest.raises(ValueError):
+        misc.get_optimizer(1e-3, "nope")
+
+
+def test_load_class_label(tmp_path):
+    p = tmp_path / "labels.json"
+    p.write_text(json.dumps({"dog": 0, "cat": 1}))
+    assert misc.load_class_label(str(p)) == {"dog": 0, "cat": 1}
+    assert misc.load_class_label(None) is None
+
+
+def test_multicaption_retrieval_perfect_alignment():
+    from audio_residual_tpu.evaluate.retrieval import evaluate_multicaption
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((6, 8)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    t = np.repeat(a, 5, axis=0)  # each audio's 5 captions = its own embedding
+    m = evaluate_multicaption(a, t, captions_per_audio=5)
+    assert m["audio_to_text_R@1"] == 1.0
+    assert m["text_to_audio_R@1"] == 1.0
+
+
+def test_get_data_from_log(tmp_path):
+    p = tmp_path / "out.log"
+    p.write_text(
+        "2026 | INFO | Start epoch 0\n"
+        "2026 | INFO | eval loss: 1.25 mAP@10: 0.5\n"
+        "2026 | INFO | Start epoch 1\n"
+        "2026 | INFO | eval loss: 0.75 mAP@10: 0.9\n"
+    )
+    out = misc.get_data_from_log(str(p))
+    assert out["loss"] == {0: 1.25, 1: 0.75}
+    assert out["mAP@10"][1] == 0.9
