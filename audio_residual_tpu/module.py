@@ -171,3 +171,30 @@ class CLAPModule:
             self.cfg,
         )
         return emb if use_tensor else np.asarray(emb)
+
+
+def audio_infer(module: CLAPModule, audio: np.ndarray, hopsize: int | None = None, key: str = "embedding") -> dict:
+    """Sliding-window inference over one long audio clip.
+
+    Reference: ``CLAP.audio_infer`` (`model.py:766-818`) — repeat short audio
+    to clip length, slide fixed windows with ``hopsize`` overlap for long
+    audio, and stack the per-window outputs. (The reference's version
+    references an undefined ``key`` variable and is effectively dead code;
+    this is the working implementation of its documented intent.)
+    """
+    audio = np.asarray(audio, np.float32)
+    assert audio.ndim == 1, "audio_infer takes a single 1-D clip"
+    clip = module.cfg.audio.clip_samples
+    n = len(audio)
+    k = clip // max(n, 1)
+    if k > 1:
+        audio = np.tile(audio, k)
+        n = len(audio)
+    hopsize = min(hopsize or clip // 2, n)
+    if n > clip:
+        starts = list(range(0, n - clip, hopsize))
+        windows = np.stack([audio[p : p + clip] for p in starts] + [audio[-clip:]])
+    else:
+        windows = audio[None]
+    out = module._run_audio_batched(windows, quantize=True)
+    return {key: np.asarray(out[key] if key in out else out["normalized"])}

@@ -65,12 +65,16 @@ def bench_jax_tpu() -> float:
         return sims.argmax(-1)
 
     wav = jnp.asarray(make_inputs(BATCH))
-    zero_shot(params, wav).block_until_ready()  # compile
+    np.asarray(zero_shot(params, wav))  # compile + sync via host transfer
+    # chain iterations through a data dependency: on async device relays,
+    # block_until_ready alone under-reports (queued work isn't awaited)
     n_iters = 10
     t0 = time.perf_counter()
+    w = wav
     for _ in range(n_iters):
-        preds = zero_shot(params, wav)
-    preds.block_until_ready()
+        preds = zero_shot(params, w)
+        w = wav + preds[0].astype(jnp.float32) * 1e-12
+    float(np.asarray(preds[0]))
     dt = (time.perf_counter() - t0) / n_iters
     return BATCH / dt
 
