@@ -70,6 +70,9 @@ class HTSATConfig:
     fusion_type: str = "None"
     # numerics
     dtype: Any = jnp.float32
+    # fused Pallas W-MSA kernel (TPU only; auto-falls back when attention
+    # taps are requested or the per-image block exceeds VMEM)
+    use_pallas_attention: bool = True
 
     @property
     def freq_ratio(self) -> int:
@@ -341,6 +344,7 @@ def swin_block(
     residual_fn=None,
     double_ffn_compat=True,
     compute_dtype=None,
+    use_pallas=False,
 ):
     """One Swin block (`htsat.py:439-482`), with the ResiDual epilogue folded in.
 
@@ -365,12 +369,30 @@ def swin_block(
     if shift > 0:
         y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
     wins = windows.window_partition(y, window)
-    mask = (
-        jnp.asarray(windows.shift_window_mask(h, w, window, shift)) if shift > 0 else None
-    )
-    attn_out, probs = window_attention(
-        p["attn"], wins, nh, window, mask, compute_dtype=compute_dtype
-    )
+
+    probs = None
+    if use_pallas and jax.default_backend() not in ("cpu",):
+        from audio_residual_tpu.ops.pallas import window_attention as fwa
+
+        nw_img = (h // window) * (w // window)
+        if fwa.supports(nw_img, window * window, c, nh):
+            attn_out = fwa.fused_window_attention(
+                wins,
+                p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+                p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
+                p["attn"]["rel_bias_table"],
+                nh=nh, window=window, num_windows_per_image=nw_img,
+                shift=shift, resolution=(h, w),
+            ).astype(wins.dtype)
+        else:
+            use_pallas = False
+    if probs is None and not (use_pallas and jax.default_backend() not in ("cpu",)):
+        mask = (
+            jnp.asarray(windows.shift_window_mask(h, w, window, shift)) if shift > 0 else None
+        )
+        attn_out, probs = window_attention(
+            p["attn"], wins, nh, window, mask, compute_dtype=compute_dtype
+        )
     y = windows.window_reverse(attn_out, window, h, w)
     if shift > 0:
         y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -618,6 +640,7 @@ def htsat_apply(
                 residual_fn=res_i,
                 double_ffn_compat=double_ffn_compat,
                 compute_dtype=compute_dtype,
+                use_pallas=cfg.use_pallas_attention and "attention" not in taps,
             )
             blk_idx += 1
             if "attention" in taps:

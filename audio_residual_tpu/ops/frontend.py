@@ -179,38 +179,56 @@ def _frame(wav: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return x[..., idx]
 
 
+def _frames_by_slicing(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Overlapping frames via reshape+slice+concat — NO gather, NO conv.
+
+    ``x [B, T_padded] -> [B, frames, n_fft]``. Works because each frame
+    ``i`` starts at ``i*hop``: reshape the signal into hop-sized rows, and
+    frame ``i`` is the concatenation of rows ``i .. i+ceil(n_fft/hop)-1``
+    (last one truncated). Pure layout ops — the TPU-friendly formulation.
+    """
+    b, t = x.shape
+    num_frames = (t - n_fft) // hop + 1
+    k = -(-n_fft // hop)  # rows spanned by one frame
+    rows_needed = num_frames + k - 1
+    total = rows_needed * hop
+    if total > t:
+        x = jnp.pad(x, ((0, 0), (0, total - t)))
+    rows = x[:, : rows_needed * hop].reshape(b, rows_needed, hop)
+    parts = []
+    used = 0
+    for j in range(k):
+        width = min(hop, n_fft - used)
+        parts.append(rows[:, j : j + num_frames, :width])
+        used += width
+    return jnp.concatenate(parts, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def stft_power(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """Power spectrogram ``[B, T] -> [B, frames, n_fft//2+1]``.
+    """Power spectrogram ``[..., T] -> [..., frames, n_fft//2+1]``.
 
     Matches torchlibrosa ``Spectrogram(power=2.0, center=True,
     pad_mode='reflect', window='hann')`` (`htsat.py:681-683`).
 
-    TPU formulation: framing + windowed DFT as ONE strided convolution with
-    the [n_fft, 1026] cos||sin basis as output channels — an implicit GEMM on
-    the MXU (full f32: the frontend is parity-critical and a small fraction
-    of total FLOPs).
+    TPU formulation: reflect pad -> slice-based overlapping frames (pure
+    layout ops; a gather formulation lowers to a scalar loop and a dense
+    conv-DFT burns 100x the FLOPs) -> hann window -> real FFT -> |.|².
     """
     squeeze = wav.ndim == 1
     if squeeze:
         wav = wav[None]
     lead = wav.shape[:-1]
-    wav = wav.reshape(-1, wav.shape[-1])  # conv wants [B, T]
+    wav = wav.reshape(-1, wav.shape[-1])
     pad = cfg.n_fft // 2
     x = jnp.pad(wav, [(0, 0), (pad, pad)], mode="reflect")
-    cos, sin = _dft_bases(cfg.n_fft, cfg.win_length)
-    kernel = jnp.asarray(np.concatenate([cos, sin], axis=1))[:, None, :]  # [W, I=1, O]
-    y = jax.lax.conv_general_dilated(
-        x[..., None],  # NWC
-        kernel,
-        window_strides=(cfg.hop_length,),
-        padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    nbins = cfg.n_fft // 2 + 1
-    re, im = y[..., :nbins], y[..., nbins:]
-    power = re * re + im * im
+    frames = _frames_by_slicing(x, cfg.n_fft, cfg.hop_length)
+    window = jnp.asarray(hann_window(cfg.win_length))
+    if cfg.win_length < cfg.n_fft:
+        lo = (cfg.n_fft - cfg.win_length) // 2
+        window = jnp.pad(window, (lo, cfg.n_fft - cfg.win_length - lo))
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     power = power.reshape(*lead, *power.shape[1:])
     return power[0] if squeeze else power
 

@@ -1,0 +1,148 @@
+"""Fused W-MSA Pallas kernel.
+
+Computes a Swin block's attention — qkv projection, per-head scores,
+relative-position bias, shifted-window mask, softmax, value aggregation,
+output projection — in ONE kernel, keeping every intermediate in VMEM.
+
+Motivation (measured on v5e): the XLA path materialises qkv / q / k / v /
+scores / probs tensors in HBM between the batched matmuls; for HTSAT-tiny
+layer 0 the probs alone are B*64 windows x 4 heads x 64 x 64 floats per
+block. The fused kernel removes that traffic.
+
+Grid = (images, window_groups): each program handles ``G`` windows of one
+image, so the SW-MSA mask block for those windows is selected by the second
+grid index (window w of every image carries mask w). ``G`` is chosen per
+layer to fit the ~16 MB VMEM budget. Mosaic supports a single batch dim in
+``dot_general``, so the (windows, heads) pair is flattened into one.
+
+Semantics identical to ``window_attention`` (`htsat.py:326-357` reference)
+minus dropout (rates are 0 in all shipped configs) and the attention-probs
+tap (the XLA path serves taps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audio_residual_tpu.ops import windows as win_ops
+
+__all__ = ["fused_window_attention", "supports", "pick_group"]
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _vmem_need(g: int, n: int, c: int, nh: int) -> int:
+    f32 = 4
+    return (
+        g * n * c * f32 * 2  # x + out
+        + g * n * 3 * c * f32  # qkv
+        + 2 * g * nh * n * n * f32  # scores + probs
+        + (3 * c * c + c * c) * f32  # weights
+        + (nh + g) * n * n * f32  # bias + mask blocks
+    )
+
+
+def pick_group(num_windows_per_image: int, n: int, c: int, nh: int) -> int | None:
+    """Largest divisor of nW/image whose working set fits VMEM."""
+    g = num_windows_per_image
+    while g >= 1:
+        if num_windows_per_image % g == 0 and _vmem_need(g, n, c, nh) < _VMEM_BUDGET:
+            return g
+        g //= 2
+    return None
+
+
+def supports(num_windows_per_image: int, n: int, c: int, nh: int) -> bool:
+    return pick_group(num_windows_per_image, n, c, nh) is not None
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref, o_ref,
+            *, g, n, c, nh, scale):
+    """Mosaic-friendly decomposition: one big qkv GEMM, then a static
+    per-head loop of window-batched [n, hd] x [hd, n] matmuls. Only
+    leading-dim splits and last-dim slices — no >4D vector reshapes (Mosaic
+    can't lower those)."""
+    hd = c // nh
+    xw = x_ref[:].reshape(g * n, c)
+    qkv = jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    mask = mask_ref[:]  # [g, n, n]
+    outs = []
+    for h in range(nh):
+        qh = qkv[:, h * hd : (h + 1) * hd].reshape(g, n, hd) * scale
+        kh = qkv[:, c + h * hd : c + (h + 1) * hd].reshape(g, n, hd)
+        vh = qkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd].reshape(g, n, hd)
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [g, n, n]
+        s = s + bias_ref[h] + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            probs, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [g, n, hd]
+        outs.append(oh.reshape(g * n, hd))
+    o = jnp.concatenate(outs, axis=-1)  # [g*n, c]
+    out = jnp.dot(o, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[:]
+    o_ref[:] = out.reshape(g, n, c)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nh", "window", "num_windows_per_image", "shift", "resolution")
+)
+def fused_window_attention(
+    x: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    rel_bias_table: jnp.ndarray,
+    *,
+    nh: int,
+    window: int,
+    num_windows_per_image: int,
+    shift: int,
+    resolution: tuple[int, int],
+) -> jnp.ndarray:
+    """``x [B*nW, N, C] -> attention output [B*nW, N, C]``."""
+    bnw, n, c = x.shape
+    nw = num_windows_per_image
+    b = bnw // nw
+    g = pick_group(nw, n, c, nh)
+    if g is None:
+        raise ValueError("window-attention block does not fit VMEM; use the XLA path")
+    scale = (c // nh) ** -0.5
+
+    bias = win_ops.gather_relative_bias(rel_bias_table, window, window)  # [nh, n, n]
+    if shift > 0:
+        mask = jnp.asarray(win_ops.shift_window_mask(*resolution, window, shift))
+    else:
+        mask = jnp.zeros((nw, n, n), jnp.float32)
+
+    groups = nw // g
+    kernel = functools.partial(_kernel, g=g, n=n, c=c, nh=nh, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, groups),
+        in_specs=[
+            pl.BlockSpec((g, n, c), lambda i, j: (i * (nw // g) + j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, n, n), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, n), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (g, n, c), lambda i, j: (i * (nw // g) + j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bnw, n, c), jnp.float32),
+    )(x.astype(jnp.float32), wqkv, bqkv, wproj, bproj, bias, mask)

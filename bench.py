@@ -40,6 +40,14 @@ def make_inputs(batch: int, seed: int = 0) -> np.ndarray:
 
 def bench_jax_tpu() -> float:
     import jax
+
+    # persistent compile cache: remote TPU compiles vary 20 s - 20 min under
+    # tunnel-queue contention; a pre-warmed cache makes reruns take seconds
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from audio_residual_tpu.data.featurize import featurize_batch
@@ -56,7 +64,6 @@ def bench_jax_tpu() -> float:
     )
     text_embeds = text_embeds / jnp.linalg.norm(text_embeds, axis=-1, keepdims=True)
 
-    @jax.jit
     def zero_shot(params, wav):
         wav = quantize_roundtrip(wav)
         batch = featurize_batch(wav, cfg.audio.clip_samples)
@@ -64,17 +71,24 @@ def bench_jax_tpu() -> float:
         sims = out["normalized"] @ text_embeds.T
         return sims.argmax(-1)
 
-    wav = jnp.asarray(make_inputs(BATCH))
-    np.asarray(zero_shot(params, wav))  # compile + sync via host transfer
-    # chain iterations through a data dependency: on async device relays,
-    # block_until_ready alone under-reports (queued work isn't awaited)
+    # N iterations inside ONE jitted program, chained through a data
+    # dependency: per-dispatch relay latency (~30 ms through the device
+    # tunnel) would otherwise dominate, and plain block_until_ready
+    # under-reports on async relays.
     n_iters = 10
+
+    @jax.jit
+    def multi(params, wav):
+        def body(carry, _):
+            preds = zero_shot(params, wav + carry * 1e-12)
+            return preds[0].astype(jnp.float32), None
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iters)
+        return s
+
+    wav = jnp.asarray(make_inputs(BATCH))
+    float(np.asarray(multi(params, wav)))  # compile + sync
     t0 = time.perf_counter()
-    w = wav
-    for _ in range(n_iters):
-        preds = zero_shot(params, w)
-        w = wav + preds[0].astype(jnp.float32) * 1e-12
-    float(np.asarray(preds[0]))
+    float(np.asarray(multi(params, wav)))
     dt = (time.perf_counter() - t0) / n_iters
     return BATCH / dt
 

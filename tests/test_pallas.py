@@ -1,0 +1,58 @@
+"""Fused Pallas W-MSA kernel correctness (interpret mode on CPU)."""
+
+import functools
+import unittest.mock as mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from audio_residual_tpu.models.htsat import window_attention
+from audio_residual_tpu.ops import windows as win_ops
+from audio_residual_tpu.ops.pallas import window_attention as fwa
+
+
+def _params(rng, c, nh):
+    return {
+        "qkv": {
+            "kernel": rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.05,
+            "bias": rng.standard_normal(3 * c).astype(np.float32) * 0.02,
+        },
+        "proj": {
+            "kernel": rng.standard_normal((c, c)).astype(np.float32) * 0.05,
+            "bias": rng.standard_normal(c).astype(np.float32) * 0.02,
+        },
+        "rel_bias_table": rng.standard_normal((225, nh)).astype(np.float32) * 0.02,
+    }
+
+
+@pytest.mark.parametrize("shift,res,g", [(0, (16, 16), 4), (4, (16, 16), 4), (4, (8, 8), 1)])
+def test_fused_matches_xla(rng, shift, res, g):
+    c, nh, b = 96, 4, 2
+    p = _params(rng, c, nh)
+    x = rng.standard_normal((b * g, 64, c)).astype(np.float32) * 0.5
+    if shift > 0 and min(res) <= 8:
+        shift_eff = 0 if min(res) <= 8 else shift
+    else:
+        shift_eff = shift
+    mask = (
+        jnp.asarray(win_ops.shift_window_mask(*res, 8, shift_eff)) if shift_eff > 0 else None
+    )
+    ref, _ = window_attention(p, jnp.asarray(x), nh, 8, mask)
+    with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        got = fwa.fused_window_attention(
+            jnp.asarray(x), p["qkv"]["kernel"], p["qkv"]["bias"],
+            p["proj"]["kernel"], p["proj"]["bias"], p["rel_bias_table"],
+            nh=nh, window=8, num_windows_per_image=g, shift=shift_eff, resolution=res,
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_pick_group_budget():
+    # HTSAT-tiny per-layer shapes all find a VMEM-feasible window group
+    for nw, c, nh in [(64, 96, 4), (16, 192, 8), (4, 384, 16), (1, 768, 32)]:
+        g = fwa.pick_group(nw, 64, c, nh)
+        assert g is not None and nw % g == 0
+        assert fwa._vmem_need(g, 64, c, nh) < fwa._VMEM_BUDGET
