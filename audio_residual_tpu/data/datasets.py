@@ -149,13 +149,20 @@ def load_wav(path: str, target_sr: int | None = None) -> tuple[np.ndarray, int]:
                 n = w.getnframes()
                 width = w.getsampwidth()
                 raw = w.readframes(n)
-                dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
-                x = np.frombuffer(raw, dtype=dtype).reshape(-1, w.getnchannels())
-                if width == 1:
-                    wav_data = (x.astype(np.float32) - 128.0) / 128.0
+                ch = w.getnchannels()
+                if width == 2:
+                    # native C fast path (falls back to numpy internally)
+                    from audio_residual_tpu import native
+
+                    wav_data = native.pcm16_to_float32_mono(raw, ch)
                 else:
-                    wav_data = x.astype(np.float32) / float(np.iinfo(dtype).max)
-                wav_data = wav_data.mean(axis=1)
+                    dtype = {1: np.uint8, 4: np.int32}[width]
+                    x = np.frombuffer(raw, dtype=dtype).reshape(-1, ch)
+                    if width == 1:
+                        wav_data = (x.astype(np.float32) - 128.0) / 128.0
+                    else:
+                        wav_data = x.astype(np.float32) / float(np.iinfo(dtype).max)
+                    wav_data = wav_data.mean(axis=1)
     if target_sr is not None and target_sr != sr:
         wav_data = resample_poly(wav_data, sr, target_sr)
         sr = target_sr

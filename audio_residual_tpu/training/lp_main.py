@@ -1,0 +1,73 @@
+"""Linear-probe training CLI — ``python -m audio_residual_tpu.training.lp_main``.
+
+Reference: `training/lp_main.py:127-643` — same skeleton as the contrastive
+CLI but wraps CLAP in a linear probe (`clap_module/linear_probe.py:7-63`):
+frozen (or unfrozen) encoder + Linear/MLP head, ``--lp-*`` flag family,
+LPLoss (bce/ce/mse) and LPMetrics (mAP/acc/mAUC).
+
+TPU-native: the frozen regime embeds the dataset once with the jitted
+encoder and trains the head at memory bandwidth (the reference re-ran the
+frozen encoder every epoch).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import numpy as np
+
+from audio_residual_tpu.data.datasets import DATASETS, get_fold_loaders
+from audio_residual_tpu.models import factory
+from audio_residual_tpu.training.linear_probe import (
+    embed_dataset,
+    eval_linear_head,
+    train_linear_head,
+)
+from audio_residual_tpu.training.logger import MetricLogger, setup_logging
+from audio_residual_tpu.training.losses import lp_metrics
+from audio_residual_tpu.training.params import parse_args
+
+__all__ = ["main"]
+
+
+def main(argv=None) -> dict:
+    args = parse_args(argv)
+    log_base = os.path.join(args.logs, args.name or "lp_run")
+    os.makedirs(log_base, exist_ok=True)
+    setup_logging(os.path.join(log_base, "out.log"))
+    metric_logger = MetricLogger(log_base, tuple(filter(None, args.report_to.split(","))))
+
+    params, cfg, model_cfg = factory.create_model(
+        args.amodel, args.tmodel, args.pretrained,
+        enable_fusion=args.enable_fusion, fusion_type=args.fusion_type,
+    )
+
+    ds_name = (args.datasetnames or ["ESC50"])[0]
+    n_classes = len(DATASETS[ds_name]["class_labels"]) if ds_name in DATASETS else 527
+    folds = get_fold_loaders(ds_name, args.datasetpath or ".", args.batch_size)
+
+    wanted = tuple(m.strip() for m in args.lp_metrics.split(","))
+    results = []
+    for i, (train_batches, val_batches) in enumerate(folds):
+        tr_x, tr_y = embed_dataset(params, cfg, train_batches())
+        va_x, va_y = embed_dataset(params, cfg, val_batches())
+        head, history = train_linear_head(
+            jax.random.PRNGKey(args.seed + i), tr_x, tr_y, n_classes,
+            epochs=args.epochs, lr=args.lp_lr, mlp=args.lp_mlp,
+            loss_kind=args.lp_loss,
+        )
+        preds, targets, sims = eval_linear_head(head, va_x, va_y)
+        m = lp_metrics(sims, targets, metrics=wanted)
+        m["fold"] = i
+        results.append(m)
+        metric_logger.log(m, step=i)
+        logging.info("fold %d: %s", i, m)
+    agg = {k: float(np.mean([r[k] for r in results])) for k in wanted}
+    logging.info("aggregate: %s", agg)
+    return {"per_fold": results, "aggregate": agg}
+
+
+if __name__ == "__main__":
+    main()
