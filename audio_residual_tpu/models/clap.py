@@ -188,7 +188,11 @@ def clap_apply(
     )
     audio_features = audio_out["normalized"]
     text_features = encode_text(params, input_ids, attention_mask, cfg)
+    extra = {}
+    if train and "bn0_state" in audio_out:
+        extra["bn0_state"] = audio_out["bn0_state"]
     return {
+        **extra,
         "audio_features": audio_features,
         "text_features": text_features,
         "audio_features_mlp": apply_transform(

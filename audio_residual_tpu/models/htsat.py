@@ -579,14 +579,14 @@ def htsat_apply(
         wav = batch["waveform"] if isinstance(batch, dict) else batch
         fcfg = cfg.frontend_config
         x = frontend.logmel(wav, fcfg)  # [B, T, F]
-        x, _ = frontend.batch_norm_mel(x, params["bn0"], train=False)
+        x, bn0_state = frontend.batch_norm_mel(x, params["bn0"], train=train)
         if train and rng is not None:
             rng, arng = jax.random.split(rng)
             x = spec_augment(arng, x)
         x = reshape_wav2img(x, cfg)  # [B, H, W, 1]
     else:
         mel = batch["mel_fusion"]  # [B, 4, T, F]
-        mel, _ = frontend.batch_norm_mel(mel, params["bn0"], train=False)
+        mel, bn0_state = frontend.batch_norm_mel(mel, params["bn0"], train=False)
         if cfg.enable_fusion and cfg.fusion_type in ("daf_1d", "aff_1d", "iaff_1d"):
             x1d = _fuse_1d(params, mel, longer, cfg)  # [B, T, F]
             if train and rng is not None:
@@ -692,6 +692,11 @@ def htsat_apply(
         "fine_grained_embedding": fine_grained,
         "embedding": latent,
     }
+    if train:
+        # updated BN running stats for the train step to merge back into
+        # params (BatchNorm over the global batch under pjit == SyncBN,
+        # covering `main.py:269`)
+        out["bn0_state"] = bn0_state
     if "attention" in taps:
         out["layers_attention"] = tap_attn
     if "residual" in taps:

@@ -80,6 +80,7 @@ def make_train_step(
     mlp_loss: bool = False,
     compute_dtype: Any = None,
     freeze_text: bool = False,
+    mixup_alpha: float = 0.0,
 ) -> Callable:
     """Jitted ``(state, batch, rng) -> (state, metrics)``.
 
@@ -89,9 +90,15 @@ def make_train_step(
     """
 
     def loss_fn(params, batch, rng):
+        audio = {"waveform": batch["waveform"]}
+        if mixup_alpha and "mixup_lambda" in batch:
+            # waveform-level mixup (`utils.py:196-208`, --mixup flag)
+            from audio_residual_tpu.utils.misc import do_mixup
+
+            audio = {"waveform": do_mixup(batch["waveform"], batch["mixup_lambda"])}
         out = clap_mod.clap_apply(
             params,
-            {"waveform": batch["waveform"]},
+            audio,
             batch["input_ids"],
             batch.get("attention_mask"),
             cfg,
@@ -116,6 +123,12 @@ def make_train_step(
         params = dict(params)
         params["logit_scale_a"] = jnp.clip(params["logit_scale_a"], None, MAX_LOGIT_SCALE)
         params["logit_scale_t"] = jnp.clip(params["logit_scale_t"], None, MAX_LOGIT_SCALE)
+        if "bn0_state" in out:
+            # merge updated BatchNorm running stats (train-mode bn0;
+            # global-batch stats under pjit subsume --use-bn-sync)
+            ab = dict(params["audio_branch"])
+            ab["bn0"] = {**ab["bn0"], **out["bn0_state"]}
+            params["audio_branch"] = ab
         new_state = TrainState(params=params, opt_state=opt_state, step=state["step"] + 1)
         metrics = {
             "loss": loss,
@@ -125,3 +138,55 @@ def make_train_step(
         return new_state, metrics
 
     return step
+
+
+def make_split_optimizer(
+    *,
+    lr_pretrained: float = 1e-5,
+    lr_new: float = 1e-4,
+    weight_decay_pretrained: float = 0.2,
+    weight_decay_new: float = 0.2,
+    warmup: int = 3200,
+    total_steps: int = 100000,
+    is_pretrained=None,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Separate optimizer groups for pretrained vs newly-initialised params —
+    the ``--split-opt`` regime (`main.py:323-404`).
+
+    ``is_pretrained(path_tuple) -> bool`` labels each leaf; the default marks
+    the encoder towers (loaded from a checkpoint) as pretrained and the
+    projections/transforms/logit scales as new, matching
+    ``is_pretrained_params`` (`main.py:109`).
+    """
+    if is_pretrained is None:
+        def is_pretrained(path):
+            top = path[0] if path else ""
+            return str(top) in ("audio_branch", "text_branch")
+
+    def label_tree(params):
+        def walk(tree, path):
+            if isinstance(tree, dict):
+                return {k: walk(v, path + (k,)) for k, v in tree.items()}
+            if isinstance(tree, (list, tuple)):
+                return type(tree)(walk(v, path + (i,)) for i, v in enumerate(tree))
+            return "pretrained" if is_pretrained(path) else "new"
+
+        return walk(params, ())
+
+    def group(lr, wd):
+        sched = cosine_lr(lr, warmup, total_steps)
+        return optax.chain(
+            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+            optax.add_decayed_weights(wd, mask=decay_mask),
+            optax.scale_by_schedule(lambda s: -sched(s)),
+        )
+
+    return optax.multi_transform(
+        {
+            "pretrained": group(lr_pretrained, weight_decay_pretrained),
+            "new": group(lr_new, weight_decay_new),
+        },
+        label_tree,
+    )
