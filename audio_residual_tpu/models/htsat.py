@@ -381,8 +381,7 @@ def swin_block(
                 p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
                 p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
                 p["attn"]["rel_bias_table"],
-                nh=nh, window=window, num_windows_per_image=nw_img,
-                shift=shift, resolution=(h, w),
+                nh, window, nw_img, shift, (h, w),
             ).astype(wins.dtype)
         else:
             use_pallas = False

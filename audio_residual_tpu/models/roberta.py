@@ -26,6 +26,11 @@ __all__ = ["RobertaConfig", "init_roberta_params", "roberta_apply"]
 
 @dataclass(frozen=True)
 class RobertaConfig:
+    """Also covers BERT (`model.py:494-504` bert branch): set
+    ``style="bert"`` — absolute 0-based position ids instead of RoBERTa's
+    padding-offset ids; everything else (block structure, pooler) is shared.
+    bert-base defaults: vocab 30522, max_pos 512, type_vocab 2, pad 0."""
+
     vocab_size: int = 50265
     hidden_size: int = 768
     num_layers: int = 12
@@ -35,6 +40,7 @@ class RobertaConfig:
     type_vocab_size: int = 1
     pad_token_id: int = 1
     layer_norm_eps: float = 1e-5
+    style: str = "roberta"  # "roberta" | "bert"
     dtype: Any = jnp.float32
 
 
@@ -113,7 +119,10 @@ def roberta_apply(
         attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
 
     emb = params["embeddings"]
-    pos_ids = position_ids_from_input_ids(input_ids, cfg.pad_token_id)
+    if cfg.style == "bert":
+        pos_ids = jnp.broadcast_to(jnp.arange(input_ids.shape[-1]), input_ids.shape)
+    else:
+        pos_ids = position_ids_from_input_ids(input_ids, cfg.pad_token_id)
     x = (
         emb["word"][input_ids]
         + emb["position"][pos_ids]

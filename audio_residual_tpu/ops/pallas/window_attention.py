@@ -95,8 +95,31 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
     o_ref[:] = out.reshape(g, n, c)
 
 
+def _xla_reference(x, wqkv, bqkv, wproj, bproj, rel_bias_table, *, nh, window,
+                   num_windows_per_image, shift, resolution):
+    """Plain-XLA twin of the kernel — used for the custom-vjp backward."""
+    bnw, n, c = x.shape
+    hd = c // nh
+    scale = hd**-0.5
+    qkv = (x.reshape(bnw * n, c) @ wqkv + bqkv).reshape(bnw, n, 3, nh, hd)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3) * scale
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    s = s + win_ops.gather_relative_bias(rel_bias_table, window, window)[None]
+    if shift > 0:
+        mask = jnp.asarray(win_ops.shift_window_mask(*resolution, window, shift))
+        nw = num_windows_per_image
+        s = s.reshape(bnw // nw, nw, nh, n, n) + mask[None, :, None]
+        s = s.reshape(bnw, nh, n, n)
+    probs = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhnm,bhmd->bhnd", probs, v, preferred_element_type=jnp.float32)
+    o = o.transpose(0, 2, 1, 3).reshape(bnw * n, c)
+    return (o @ wproj + bproj).reshape(bnw, n, c)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("nh", "window", "num_windows_per_image", "shift", "resolution")
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10)
 )
 def fused_window_attention(
     x: jnp.ndarray,
@@ -105,14 +128,19 @@ def fused_window_attention(
     wproj: jnp.ndarray,
     bproj: jnp.ndarray,
     rel_bias_table: jnp.ndarray,
-    *,
     nh: int,
     window: int,
     num_windows_per_image: int,
     shift: int,
     resolution: tuple[int, int],
 ) -> jnp.ndarray:
-    """``x [B*nW, N, C] -> attention output [B*nW, N, C]``."""
+    """``x [B*nW, N, C] -> attention output [B*nW, N, C]``.
+
+    custom-vjp: forward runs the fused Pallas kernel; backward differentiates
+    the plain-XLA twin (Pallas kernels have no autodiff rule) — gradients
+    flow to x, the qkv/proj weights, and the relative-position-bias table,
+    which the ResiDual λ-training path needs.
+    """
     bnw, n, c = x.shape
     nw = num_windows_per_image
     b = bnw // nw
@@ -146,3 +174,28 @@ def fused_window_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((bnw, n, c), jnp.float32),
     )(x.astype(jnp.float32), wqkv, bqkv, wproj, bproj, bias, mask)
+
+
+def _fwa_fwd(x, wqkv, bqkv, wproj, bproj, rel_bias_table,
+             nh, window, num_windows_per_image, shift, resolution):
+    out = fused_window_attention(
+        x, wqkv, bqkv, wproj, bproj, rel_bias_table,
+        nh, window, num_windows_per_image, shift, resolution,
+    )
+    return out, (x, wqkv, bqkv, wproj, bproj, rel_bias_table)
+
+
+def _fwa_bwd(nh, window, num_windows_per_image, shift, resolution, residuals, g):
+    x, wqkv, bqkv, wproj, bproj, rel_bias_table = residuals
+    _, vjp = jax.vjp(
+        functools.partial(
+            _xla_reference, nh=nh, window=window,
+            num_windows_per_image=num_windows_per_image, shift=shift,
+            resolution=resolution,
+        ),
+        x, wqkv, bqkv, wproj, bproj, rel_bias_table,
+    )
+    return vjp(g)
+
+
+fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)

@@ -45,7 +45,7 @@ def test_fused_matches_xla(rng, shift, res, g):
         got = fwa.fused_window_attention(
             jnp.asarray(x), p["qkv"]["kernel"], p["qkv"]["bias"],
             p["proj"]["kernel"], p["proj"]["bias"], p["rel_bias_table"],
-            nh=nh, window=8, num_windows_per_image=g, shift=shift_eff, resolution=res,
+            nh, 8, g, shift_eff, res,
         )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
 
@@ -56,3 +56,28 @@ def test_pick_group_budget():
         g = fwa.pick_group(nw, 64, c, nh)
         assert g is not None and nw % g == 0
         assert fwa._vmem_need(g, 64, c, nh) < fwa._VMEM_BUDGET
+
+
+def test_fused_attention_grad_matches_xla(rng):
+    """custom-vjp backward (XLA twin) produces correct gradients."""
+    c, nh, g, b = 96, 4, 4, 1
+    p = _params(rng, c, nh)
+    x = jnp.asarray(rng.standard_normal((b * g, 64, c)).astype(np.float32) * 0.5)
+
+    def loss_fused(x_):
+        with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+            out = fwa.fused_window_attention(
+                x_, p["qkv"]["kernel"], p["qkv"]["bias"],
+                p["proj"]["kernel"], p["proj"]["bias"], p["rel_bias_table"],
+                nh, 8, g, 4, (16, 16),
+            )
+        return jnp.sum(out**2)
+
+    def loss_xla(x_):
+        mask = jnp.asarray(win_ops.shift_window_mask(16, 16, 8, 4))
+        out, _ = window_attention(p, x_, nh, 8, mask)
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(loss_fused)(x)
+    g2 = jax.grad(loss_xla)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-3, rtol=1e-2)
