@@ -125,6 +125,8 @@ def encode_audio(
     residual: dict | None = None,
     double_ffn_compat: bool = True,
     compute_dtype: Any = None,
+    start_layer: int = 0,
+    stop_at_layer: int | None = None,
 ) -> dict:
     """Audio branch forward -> output dict (the `get_audio_output_dict`
     equivalent, `model.py:745-762`). Pass ``taps`` for attention/residual
@@ -140,7 +142,11 @@ def encode_audio(
         residual=residual,
         double_ffn_compat=double_ffn_compat,
         compute_dtype=compute_dtype,
+        start_layer=start_layer,
+        stop_at_layer=stop_at_layer,
     )
+    if stop_at_layer is not None:
+        return out  # {"tokens": ...} prefix
     proj = apply_projection(cfg, params["audio_projection"], out["embedding"])
     out["projected"] = proj
     out["normalized"] = l2_normalize(proj)

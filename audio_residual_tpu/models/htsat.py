@@ -551,8 +551,16 @@ def htsat_apply(
     residual: dict | None = None,
     double_ffn_compat: bool = True,
     compute_dtype: Any = None,
+    start_layer: int = 0,
+    stop_at_layer: int | None = None,
 ) -> dict:
     """Full HTSAT forward (`htsat.py:779-834,881-994`).
+
+    Split execution for frozen-prefix caching (ResiDual λ training re-runs
+    the frozen encoder every epoch in the reference — SURVEY.md hard part
+    #6): ``stop_at_layer=l`` runs frontend+patch_embed+layers[:l] and returns
+    ``{"tokens": x}``; ``start_layer=l`` takes ``batch={"tokens": x}`` and
+    resumes at layer ``l``.
 
     Args:
       batch: ``{"waveform": [B, T]}`` (non-fusion) or a raw ``[B, T]`` array;
@@ -570,6 +578,19 @@ def htsat_apply(
     Returns the output dict of `htsat.py:825-832` (plus tapped lists).
     """
     from audio_residual_tpu.residual.module import residual_apply
+
+    if isinstance(batch, dict) and "tokens" in batch:
+        x = batch["tokens"]
+        frames_num = cfg.spec_size
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        return _htsat_layers_and_head(
+            params, x, cfg, frames_num,
+            train=train, rng=rng, taps=taps, residual=residual,
+            double_ffn_compat=double_ffn_compat, compute_dtype=compute_dtype,
+            start_layer=start_layer, stop_at_layer=None,
+            residual_apply=residual_apply,
+        )
 
     fused_input = isinstance(batch, dict) and "mel_fusion" in batch
     longer = batch.get("longer") if isinstance(batch, dict) else None
@@ -611,11 +632,28 @@ def htsat_apply(
 
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
+    bn_state = bn0_state if (train and not fused_input) else None
+    return _htsat_layers_and_head(
+        params, x, cfg, frames_num,
+        train=train, rng=rng, taps=taps, residual=residual,
+        double_ffn_compat=double_ffn_compat, compute_dtype=compute_dtype,
+        start_layer=0, stop_at_layer=stop_at_layer,
+        residual_apply=residual_apply, bn0_state=bn_state,
+    )
+
+
+def _htsat_layers_and_head(
+    params, x, cfg, frames_num, *, train, rng, taps, residual,
+    double_ffn_compat, compute_dtype, start_layer, stop_at_layer,
+    residual_apply, bn0_state=None,
+):
 
     dpr = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
     tap_attn, tap_res = [], []
-    blk_idx = 0
-    for i, layer_p in enumerate(params["layers"]):
+    end_layer = stop_at_layer if stop_at_layer is not None else cfg.num_layers
+    blk_idx = sum(cfg.depths[:start_layer])
+    for i in range(start_layer, end_layer):
+        layer_p = params["layers"][i]
         res_i = None
         if residual is not None and i in residual:
             r = residual[i]
@@ -652,6 +690,9 @@ def htsat_apply(
             tap_attn.append(jnp.mean(jnp.stack(layer_attns), axis=0))
         if "residual" in taps:
             tap_res.append(jnp.concatenate(layer_residuals, axis=1))
+
+    if stop_at_layer is not None:
+        return {"tokens": x}
 
     x = x.astype(jnp.float32)
     x = _apply_ln(params["norm"], x)
@@ -691,7 +732,7 @@ def htsat_apply(
         "fine_grained_embedding": fine_grained,
         "embedding": latent,
     }
-    if train:
+    if train and bn0_state is not None:
         # updated BN running stats for the train step to merge back into
         # params (BatchNorm over the global batch under pjit == SyncBN,
         # covering `main.py:269`)

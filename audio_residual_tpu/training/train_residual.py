@@ -70,16 +70,27 @@ def make_zero_shot_step(
     max_len: int = 480000,
     double_ffn_compat: bool = True,
     compute_dtype=None,
+    start_layer: int = 0,
+    tokens_input: bool = False,
 ):
     """Build the jitted ``(lam, opt_state, wav, labels) -> (lam, opt_state,
-    loss, n_correct)`` train step. λ is the only trainable pytree."""
+    loss, n_correct)`` train step. λ is the only trainable pytree.
+
+    ``start_layer > 0``: inputs are cached frozen-prefix tokens (see
+    :func:`cache_prefix_tokens`) instead of waveforms — the per-epoch forward
+    then starts at the first injected layer (SURVEY.md hard part #6; the
+    reference re-ran the whole frozen encoder every epoch)."""
 
     def loss_fn(lam, wav, labels):
         residual = _merge_residual(lam, frozen_residual)
-        batch = featurize_batch(wav, max_len)
+        if tokens_input:
+            batch = {"tokens": wav}
+        else:
+            batch = featurize_batch(wav, max_len)
         out = clap_mod.encode_audio(
             params, batch, cfg, residual=residual,
             double_ffn_compat=double_ffn_compat, compute_dtype=compute_dtype,
+            start_layer=start_layer,
         )
         sims = out["normalized"] @ text_embeds.T
         logp = jax.nn.log_softmax(sims, axis=-1)
@@ -97,6 +108,28 @@ def make_zero_shot_step(
     return step, jax.jit(loss_fn)
 
 
+def cache_prefix_tokens(
+    params: dict,
+    cfg: clap_mod.CLAPConfig,
+    batches: Iterable,
+    until_layer: int,
+    *,
+    max_len: int = 480000,
+) -> list:
+    """Run the frozen encoder prefix (frontend + patch embed + layers below
+    the first injected layer) ONCE and cache the tokens host-side — the
+    epoch loop then pays only for the suffix."""
+
+    @jax.jit
+    def prefix(wav):
+        batch = featurize_batch(wav, max_len)
+        return clap_mod.encode_audio(
+            params, batch, cfg, stop_at_layer=until_layer
+        )["tokens"]
+
+    return [(np.asarray(prefix(jnp.asarray(wav))), np.asarray(labels)) for wav, labels in batches]
+
+
 def train_residual(
     params: dict,
     cfg: clap_mod.CLAPConfig,
@@ -109,18 +142,27 @@ def train_residual(
     max_len: int = 480000,
     double_ffn_compat: bool = True,
     log_fn: Callable[[dict], None] | None = None,
+    cache_prefix: bool = False,
 ) -> tuple[dict, list[dict]]:
     """Train λ (`src/training.py:12-41` + Adam as `evaluation.py:54`).
 
     ``train_batches()`` yields ``(wav [B, T], labels [B])`` numpy pairs.
     Returns the trained residual dict and the per-epoch history.
+    ``cache_prefix=True`` precomputes the frozen encoder prefix below the
+    first injected layer once (big speedup for late-layer injection sweeps).
     """
     lam, frozen = _split_residual(residual)
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(lam)
+    start_layer = 0
+    if cache_prefix:
+        start_layer = min(frozen)
+        cached = cache_prefix_tokens(params, cfg, train_batches(), start_layer, max_len=max_len)
+        train_batches = lambda: iter(cached)  # noqa: E731
     step, _ = make_zero_shot_step(
         params, cfg, text_embeds, frozen, optimizer,
         max_len=max_len, double_ffn_compat=double_ffn_compat,
+        start_layer=start_layer, tokens_input=cache_prefix,
     )
     history = []
     for e in range(epochs):

@@ -179,3 +179,20 @@ def test_lp_loss_and_metrics():
     assert np.isfinite(float(losses.lp_loss(jnp.asarray(logits), jnp.asarray(onehot), "mse")))
     m = losses.lp_metrics(jax.nn.softmax(jnp.asarray(logits)), y)
     assert set(m) == {"acc", "map", "mauc"}
+
+
+def test_cached_prefix_training_matches_full(setup):
+    """cache_prefix=True trains identically (eval-mode deterministic fwd)."""
+    params, text_embeds, make_batches = setup
+    residual = _residual_for_layer0(params)
+    kw = dict(epochs=1, lr=0.05)
+    r1, h1 = train_residual.train_residual(
+        params, CFG, make_batches(7), text_embeds, residual, **kw
+    )
+    r2, h2 = train_residual.train_residual(
+        params, CFG, make_batches(7), text_embeds, residual, cache_prefix=True, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1[0]["lam"]), np.asarray(r2[0]["lam"]), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(h1[0]["train_loss"], h2[0]["train_loss"], rtol=1e-4)
