@@ -122,3 +122,21 @@ def get_data_from_log(txt_path: str) -> dict:
                     continue
                 out.setdefault(key, {})[epoch] = float(val)
     return out
+
+
+def bn_freeze_mask(params) -> dict:
+    """Trainability mask that freezes BatchNorm parameters — the functional
+    counterpart of ``freeze_batch_norm_2d`` (`clap_module/utils.py:62-100`).
+    Use with ``optax.masked`` / zero-lr groups; note that in this framework
+    eval-statistics BN is already the inference default, so "freezing" only
+    concerns the scale/bias leaves during finetuning."""
+    import jax
+
+    def walk(tree, in_bn=False):
+        if isinstance(tree, dict):
+            return {k: walk(v, in_bn or str(k).startswith("bn")) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(walk(v, in_bn) for v in tree)
+        return not in_bn  # True = trainable
+
+    return walk(params)
