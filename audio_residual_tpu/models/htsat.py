@@ -73,6 +73,9 @@ class HTSATConfig:
     # fused Pallas W-MSA kernel (TPU only; auto-falls back when attention
     # taps are requested or the per-image block exceeds VMEM)
     use_pallas_attention: bool = True
+    # fully-fused block kernel (attention + MLP + optional ResiDual epilogue
+    # in one VMEM-resident program); needs no taps and eval-mode drop_path
+    use_pallas_block: bool = True
 
     @property
     def freq_ratio(self) -> int:
@@ -342,9 +345,11 @@ def swin_block(
     train=False,
     rng=None,
     residual_fn=None,
+    residual_params=None,
     double_ffn_compat=True,
     compute_dtype=None,
     use_pallas=False,
+    use_pallas_block=False,
 ):
     """One Swin block (`htsat.py:439-482`), with the ResiDual epilogue folded in.
 
@@ -363,6 +368,43 @@ def swin_block(
     if min(h, w) <= window:
         shift = 0
         window = min(h, w)
+
+    on_accel = jax.default_backend() not in ("cpu",)
+    if (
+        use_pallas_block
+        and on_accel
+        and not (train and drop_path_rate > 0.0)
+    ):
+        from audio_residual_tpu.ops.pallas import swin_block as fsb
+
+        nw_img = (h // window) * (w // window)
+        hidden = p["mlp"]["fc1"]["kernel"].shape[1]
+        if fsb.block_supports(nw_img, window * window, c, nh, hidden):
+            y = x.reshape(b, h, w, c)
+            if shift > 0:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            wins = windows.window_partition(y, window)
+            flat = (
+                p["norm1"]["scale"], p["norm1"]["bias"],
+                p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+                p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+                p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+                p["attn"]["rel_bias_table"],
+            )
+            if residual_params is not None:
+                flat = flat + (
+                    residual_params["basis"], residual_params["mean"], residual_params["lam"],
+                )
+            out_wins = fsb.fused_swin_block(
+                wins, flat, nh, window, nw_img, shift, (h, w),
+                residual_params is not None, double_ffn_compat,
+            ).astype(x.dtype)
+            y = windows.window_reverse(out_wins, window, h, w)
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            return y.reshape(b, n, c), None, None
 
     shortcut = x
     y = _apply_ln(p["norm1"], x).reshape(b, h, w, c)
@@ -675,9 +717,13 @@ def _htsat_layers_and_head(
                 train=train,
                 rng=brng,
                 residual_fn=res_i,
+                residual_params=(residual.get(i) if residual is not None else None),
                 double_ffn_compat=double_ffn_compat,
                 compute_dtype=compute_dtype,
                 use_pallas=cfg.use_pallas_attention and "attention" not in taps,
+                use_pallas_block=(
+                    cfg.use_pallas_block and not taps
+                ),
             )
             blk_idx += 1
             if "attention" in taps:

@@ -1,0 +1,289 @@
+"""Fully-fused Swin block Pallas kernel (attention + MLP, VMEM-resident).
+
+Extends the fused W-MSA kernel (window_attention.py) to the WHOLE block in
+window space: ``y = h + MLP(LN2(h))`` with ``h = x + proj(attn(LN1(x)))``.
+The MLP/LN/residual adds are position-independent, so they run on windowed
+tokens directly — only the cyclic shift between blocks needs image space,
+which stays in XLA as cheap layout ops.
+
+Optional extras folded in:
+  * ResiDual epilogue on the post-attention residual
+    (`src/residual.py:88-98`), including the reference's double-FFN compat
+    quirk — so ResiDual *inference* also runs fully fused;
+  * eval-mode only (drop_path/dropout are identity in every shipped eval
+    path; training forwards use the XLA path).
+
+Per-program VMEM: x/out + qkv + scores/probs + MLP hidden + weights; the
+window group G is auto-chosen. HTSAT-tiny layers 0-2 fit; layer 3's MLP
+weights (768x3072x2) push past the budget, so it falls back to the
+attention-only kernel automatically.
+
+custom-vjp with an XLA twin for the backward (λ-training differentiates
+through downstream blocks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audio_residual_tpu.ops import windows as win_ops
+
+__all__ = ["fused_swin_block", "block_pick_group", "block_supports"]
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _block_vmem_need(g: int, n: int, c: int, nh: int, hidden: int) -> int:
+    f32 = 4
+    return (
+        g * n * c * f32 * 3  # x + h + out
+        + g * n * 3 * c * f32  # qkv
+        + 2 * g * nh * n * n * f32  # scores + probs
+        + g * n * hidden * f32  # mlp hidden
+        + (3 * c * c + c * c + 2 * c * hidden) * f32  # weights
+        + (nh + g) * n * n * f32  # bias + mask
+    )
+
+
+def block_pick_group(nw: int, n: int, c: int, nh: int, hidden: int) -> int | None:
+    g = nw
+    while g >= 1:
+        if nw % g == 0 and _block_vmem_need(g, n, c, nh, hidden) < _VMEM_BUDGET:
+            return g
+        g //= 2
+    return None
+
+
+def block_supports(nw: int, n: int, c: int, nh: int, hidden: int) -> bool:
+    return block_pick_group(nw, n, c, nh, hidden) is not None
+
+
+def _erf_f32(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max error 1.5e-7 == f32 resolution).
+
+    Mosaic lowers neither erf nor erfc; exp it does.
+    """
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact (erf) gelu matching torch nn.GELU() within f32 resolution."""
+    return x * 0.5 * (1.0 + _erf_f32(x * 0.7071067811865476))
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+            bias_ref, mask_ref, rbasis_ref, rmean_ref, rlam_ref, o_ref,
+            *, g, n, c, nh, scale, use_residual, double_ffn):
+    hd = c // nh
+    x = x_ref[:].reshape(g * n, c)
+    y = _ln(x, n1s_ref[:], n1b_ref[:])
+    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    mask = mask_ref[:]
+    outs = []
+    for h in range(nh):
+        qh = qkv[:, h * hd : (h + 1) * hd].reshape(g, n, hd) * scale
+        kh = qkv[:, c + h * hd : c + (h + 1) * hd].reshape(g, n, hd)
+        vh = qkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd].reshape(g, n, hd)
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + bias_ref[h] + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            probs, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(oh.reshape(g * n, hd))
+    a = jnp.concatenate(outs, axis=-1)
+    a = jnp.dot(a, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[:]
+
+    if use_residual:
+        # ResiDual epilogue (`src/residual.py:88-98`): center/project/scale/
+        # reproject the post-attention residual before the FFN add
+        proj = jnp.dot(a - rmean_ref[:], rbasis_ref[:].T, preferred_element_type=jnp.float32)
+        a = jnp.dot(proj * rlam_ref[:], rbasis_ref[:], preferred_element_type=jnp.float32)
+
+    h1 = x + a
+
+    def ffn(t):
+        z = _ln(t, n2s_ref[:], n2b_ref[:])
+        z = jnp.dot(z, wfc1_ref[:], preferred_element_type=jnp.float32) + bfc1_ref[:]
+        z = _gelu_exact(z)
+        return jnp.dot(z, wfc2_ref[:], preferred_element_type=jnp.float32) + bfc2_ref[:]
+
+    y = h1 + ffn(h1)
+    if use_residual and double_ffn:
+        # reference patched-forward quirk (`src/residual.py:95-96`)
+        y2 = x + y
+        y = y2 + ffn(y2)
+    o_ref[:] = y.reshape(g, n, c)
+
+
+def _xla_twin(x, blk, rparams, *, nh, window, nw, shift, resolution, double_ffn):
+    """Plain-XLA block twin (custom-vjp backward + parity tests)."""
+    bnw, n, c = x.shape
+    hd = c // nh
+    scale = hd**-0.5
+    y = _ln(x, blk["norm1"]["scale"], blk["norm1"]["bias"])
+    qkv = (y.reshape(-1, c) @ blk["attn"]["qkv"]["kernel"] + blk["attn"]["qkv"]["bias"])
+    qkv = qkv.reshape(bnw, n, 3, nh, hd)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3) * scale
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    s = s + win_ops.gather_relative_bias(blk["attn"]["rel_bias_table"], window, window)[None]
+    if shift > 0:
+        m = jnp.asarray(win_ops.shift_window_mask(*resolution, window, shift))
+        s = (s.reshape(bnw // nw, nw, nh, n, n) + m[None, :, None]).reshape(bnw, nh, n, n)
+    p = jax.nn.softmax(s, axis=-1)
+    a = jnp.einsum("bhnm,bhmd->bhnd", p, v).transpose(0, 2, 1, 3).reshape(bnw, n, c)
+    a = a @ blk["attn"]["proj"]["kernel"] + blk["attn"]["proj"]["bias"]
+    if rparams is not None:
+        proj = jnp.matmul(a - rparams["mean"], rparams["basis"].T,
+                          precision=jax.lax.Precision.HIGHEST)
+        a = jnp.matmul(proj * rparams["lam"], rparams["basis"],
+                       precision=jax.lax.Precision.HIGHEST)
+    h1 = x + a
+
+    def ffn(t):
+        z = _ln(t, blk["norm2"]["scale"], blk["norm2"]["bias"])
+        z = jax.nn.gelu(z.reshape(-1, c) @ blk["mlp"]["fc1"]["kernel"] + blk["mlp"]["fc1"]["bias"],
+                        approximate=False)
+        return (z @ blk["mlp"]["fc2"]["kernel"] + blk["mlp"]["fc2"]["bias"]).reshape(bnw, n, c)
+
+    y = h1 + ffn(h1)
+    if rparams is not None and double_ffn:
+        y2 = x + y
+        y = y2 + ffn(y2)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def fused_swin_block(
+    x: jnp.ndarray,
+    flat_params: tuple,
+    nh: int,
+    window: int,
+    num_windows_per_image: int,
+    shift: int,
+    resolution: tuple[int, int],
+    use_residual: bool,
+    double_ffn: bool,
+) -> jnp.ndarray:
+    """``x [B*nW, N, C]`` pre-norm windows -> post-block windows.
+
+    ``flat_params`` = (n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1,
+    bfc1, wfc2, bfc2, rel_bias_table[, rbasis, rmean, rlam]).
+    """
+    (n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1, bfc1, wfc2, bfc2,
+     table, *res) = flat_params
+    bnw, n, c = x.shape
+    nw = num_windows_per_image
+    hidden = wfc1.shape[1]
+    g = block_pick_group(nw, n, c, nh, hidden)
+    if g is None:
+        raise ValueError("block does not fit VMEM")
+    b = bnw // nw
+    scale = (c // nh) ** -0.5
+    bias = win_ops.gather_relative_bias(table, window, window)
+    if shift > 0:
+        mask = jnp.asarray(win_ops.shift_window_mask(*resolution, window, shift))
+    else:
+        mask = jnp.zeros((nw, n, n), jnp.float32)
+    if use_residual:
+        rbasis, rmean, rlam = res
+    else:
+        rbasis = jnp.zeros((1, c), jnp.float32)
+        rmean = jnp.zeros((c,), jnp.float32)
+        rlam = jnp.zeros((1,), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, g=g, n=n, c=c, nh=nh, scale=scale,
+        use_residual=use_residual, double_ffn=double_ffn,
+    )
+    k_r = rbasis.shape[0]
+    full = lambda *shape: pl.BlockSpec(shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nw // g),
+        in_specs=[
+            pl.BlockSpec((g, n, c), lambda i, j: (i * (nw // g) + j, 0, 0), memory_space=pltpu.VMEM),
+            full(c), full(c),
+            full(c, 3 * c), full(3 * c),
+            full(c, c), full(c),
+            full(c), full(c),
+            full(c, hidden), full(hidden),
+            full(hidden, c), full(c),
+            full(nh, n, n),
+            pl.BlockSpec((g, n, n), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            full(k_r, c), full(c), full(k_r),
+        ],
+        out_specs=pl.BlockSpec(
+            (g, n, c), lambda i, j: (i * (nw // g) + j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bnw, n, c), jnp.float32),
+    )(x.astype(jnp.float32), n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b,
+      wfc1, bfc1, wfc2, bfc2, bias, mask, rbasis, rmean, rlam)
+
+
+def _params_to_blk(flat_params):
+    (n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1, bfc1, wfc2, bfc2,
+     table, *res) = flat_params
+    blk = {
+        "norm1": {"scale": n1s, "bias": n1b},
+        "attn": {"qkv": {"kernel": wqkv, "bias": bqkv},
+                 "proj": {"kernel": wproj, "bias": bproj},
+                 "rel_bias_table": table},
+        "norm2": {"scale": n2s, "bias": n2b},
+        "mlp": {"fc1": {"kernel": wfc1, "bias": bfc1},
+                "fc2": {"kernel": wfc2, "bias": bfc2}},
+    }
+    rparams = None
+    if res:
+        rparams = {"basis": res[0], "mean": res[1], "lam": res[2]}
+    return blk, rparams
+
+
+def _fsb_fwd(x, flat_params, nh, window, nw, shift, resolution, use_residual, double_ffn):
+    out = fused_swin_block(x, flat_params, nh, window, nw, shift, resolution,
+                           use_residual, double_ffn)
+    return out, (x, flat_params)
+
+
+def _fsb_bwd(nh, window, nw, shift, resolution, use_residual, double_ffn, residuals, g):
+    x, flat_params = residuals
+    blk_of = lambda fp: _params_to_blk(fp)  # noqa: E731
+
+    def twin(x_, fp):
+        blk, rparams = blk_of(fp)
+        if not use_residual:
+            rparams = None
+        return _xla_twin(x_, blk, rparams, nh=nh, window=window, nw=nw,
+                         shift=shift, resolution=resolution, double_ffn=double_ffn)
+
+    _, vjp = jax.vjp(twin, x, flat_params)
+    return vjp(g)
+
+
+fused_swin_block.defvjp(_fsb_fwd, _fsb_bwd)
