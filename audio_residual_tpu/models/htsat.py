@@ -76,6 +76,9 @@ class HTSATConfig:
     # fully-fused block kernel (attention + MLP + optional ResiDual epilogue
     # in one VMEM-resident program); needs no taps and eval-mode drop_path
     use_pallas_block: bool = True
+    # fused DFT+power+mel+log frontend kernel (never materialises the
+    # [frames, 513] power spectrogram in HBM)
+    use_pallas_frontend: bool = True
 
     @property
     def freq_ratio(self) -> int:
@@ -640,7 +643,12 @@ def htsat_apply(
     if not fused_input:
         wav = batch["waveform"] if isinstance(batch, dict) else batch
         fcfg = cfg.frontend_config
-        x = frontend.logmel(wav, fcfg)  # [B, T, F]
+        if cfg.use_pallas_frontend and jax.default_backend() not in ("cpu",):
+            from audio_residual_tpu.ops.pallas import frontend as pallas_fe
+
+            x = pallas_fe.fused_logmel(wav, fcfg)  # [B, T, F]
+        else:
+            x = frontend.logmel(wav, fcfg)  # [B, T, F]
         x, bn0_state = frontend.batch_norm_mel(x, params["bn0"], train=train)
         if train and rng is not None:
             rng, arng = jax.random.split(rng)

@@ -156,3 +156,15 @@ def test_block_vmem_budget():
     assert fsb.block_supports(16, 64, 192, 8, 768)
     assert fsb.block_supports(4, 64, 384, 16, 1536)
     assert not fsb.block_supports(1, 64, 768, 32, 3072)
+
+
+def test_fused_frontend_matches_rfft(rng):
+    from audio_residual_tpu.ops import frontend as fe
+    from audio_residual_tpu.ops.pallas import frontend as pfe
+
+    cfg = fe.FrontendConfig()
+    wav = jnp.asarray((rng.standard_normal((2, 24000)) * 0.1).astype(np.float32))
+    ref = fe.logmel(wav, cfg)
+    with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        got = pfe.fused_logmel(wav, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
