@@ -114,7 +114,13 @@ def pca_finalize(state: PCAState, n_components: int | None = None) -> dict:
     cov = (outer - n[..., None, None] * mean[..., :, None] * mean[..., None, :]) / np.maximum(
         n[..., None, None] - 1.0, 1.0
     )
-    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    if cov.shape[-1] >= 1024:
+        # device-side eigh: the per-head attention PCA is [heads, 4096, 4096];
+        # a 1-core host would grind for minutes per head
+        ev, evec = jnp.linalg.eigh(jnp.asarray(cov, jnp.float32))
+        eigvals, eigvecs = np.asarray(ev, np.float64), np.asarray(evec, np.float64)
+    else:
+        eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
     eigvals = eigvals[..., ::-1]
     components = np.swapaxes(eigvecs, -1, -2)[..., ::-1, :]  # [..., D, D] rows=components
     components = _sign_flip(components)
