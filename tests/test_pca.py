@@ -128,3 +128,27 @@ def test_csv_roundtrip(tmp_path, rng):
         loaded[(0, 1)]["explained_variance"], results[(0, 1)]["explained_variance"], rtol=1e-12
     )
     assert loaded[(0, 0)]["intrinsic_dim"] is not None
+
+
+def test_randomized_topk_eigh_accuracy(rng):
+    """Large-dim PCA path: randomized subspace iteration recovers the top
+    spectrum; ratios use the exact trace."""
+    d, k = 1024, 32
+    # decaying spectrum
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    lam = np.concatenate([np.linspace(50, 1, 64), 0.01 * rng.random(d - 64)])
+    cov = (q * lam) @ q.T
+    x = rng.multivariate_normal(np.zeros(4), np.eye(4))  # noqa: F841 (rng use)
+    state = pca_ops.PCAState(
+        n=jnp.asarray(float(d)),
+        sum=jnp.zeros(d),
+        outer=jnp.asarray(((cov * (d - 1)) ).astype(np.float32)),
+    )
+    res = pca_ops.pca_finalize(state, n_components=k)
+    ref = np.sort(np.linalg.eigvalsh(cov))[::-1][:k]
+    np.testing.assert_allclose(res["explained_variance"][:k], ref, rtol=0.02)
+    # ratio denominator is the exact trace
+    np.testing.assert_allclose(
+        res["explained_variance_ratio"][:5],
+        ref[:5] / np.trace(cov), rtol=0.02,
+    )
