@@ -28,6 +28,10 @@ from audio_residual_tpu.training.train_residual import (
 
 
 def main(argv=None):
+    from audio_residual_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default=None)
     p.add_argument("--dataset", default="ESC50")
