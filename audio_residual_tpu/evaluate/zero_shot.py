@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import logging
 
-import jax.numpy as jnp
 import numpy as np
 
 from audio_residual_tpu.evaluate.metrics import classification_metrics

@@ -16,7 +16,6 @@ config file.
 from __future__ import annotations
 
 import json
-import os
 import re
 from pathlib import Path
 

@@ -11,7 +11,6 @@ Differences by design (TPU-first):
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 

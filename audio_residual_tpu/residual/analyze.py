@@ -23,7 +23,6 @@ import os
 from collections import defaultdict
 from typing import Callable, Iterable
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -16,10 +16,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Any
-
-import jax
-import numpy as np
 
 __all__ = [
     "save_checkpoint",

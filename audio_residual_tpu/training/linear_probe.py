@@ -18,7 +18,7 @@ the jitted encoder and cached; the probe then trains at memory bandwidth on
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ Per-step logit-scale clamp to ln(100) mirrors `train.py:124-159`.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

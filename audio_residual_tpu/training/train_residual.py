@@ -26,7 +26,6 @@ Reference quirks handled explicitly:
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Callable, Iterable
 

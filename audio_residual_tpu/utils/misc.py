@@ -130,7 +130,6 @@ def bn_freeze_mask(params) -> dict:
     Use with ``optax.masked`` / zero-lr groups; note that in this framework
     eval-statistics BN is already the inference default, so "freezing" only
     concerns the scale/bias leaves during finetuning."""
-    import jax
 
     def walk(tree, in_bn=False):
         if isinstance(tree, dict):
