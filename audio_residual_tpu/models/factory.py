@@ -168,3 +168,32 @@ def load_checkpoint_params(path: str, cfg: clap_mod.CLAPConfig) -> dict:
     params = clap_mod.init_clap_params(jax.random.PRNGKey(0), cfg)
     params["audio_branch"] = convert_mod.convert_htsat_state_dict(sd, "audio_branch.", depths)
     return params
+
+
+def create_model_and_transforms(*args, **kwargs):
+    """API-name parity with `factory.py:230-255`: for audio models the
+    "transforms" are the featurization contract, returned as a callable."""
+    from audio_residual_tpu.data.featurize import featurize_batch
+
+    params, cfg, model_cfg = create_model(*args, **kwargs)
+    clip_samples = model_cfg["audio_cfg"]["clip_samples"]
+
+    def preprocess(wav):
+        return featurize_batch(wav, clip_samples)
+
+    return params, cfg, model_cfg, preprocess
+
+
+def convert_weights_to_bf16(params):
+    """Cast floating-point >=2-D weights to bfloat16 — the TPU counterpart of
+    ``convert_weights_to_fp16`` (`model.py:826-848`); biases/norms stay f32
+    like the reference keeps LN in fp32."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(p):
+        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating) and p.ndim >= 2:
+            return p.astype(jnp.bfloat16)
+        return p
+
+    return jax.tree.map(cast, params)

@@ -156,3 +156,35 @@ def test_clap_module_end_to_end_tiny(tmp_path):
         HTSAT_VARIANTS.pop("tiny-test")
         fac._CONFIG_DIRS.pop()
         fac._rescan()
+
+
+def test_graft_entry_contract():
+    """Driver contract regression: entry() jits; dryrun runs a DP step."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(4)
+
+
+def test_create_model_and_transforms():
+    import numpy as np
+
+    from audio_residual_tpu.models.factory import create_model_and_transforms
+
+    params, cfg, model_cfg, preprocess = create_model_and_transforms("HTSAT-tiny")
+    out = preprocess(np.zeros((2, 240000), np.float32))
+    assert out["waveform"].shape == (2, 480000)
+
+
+def test_convert_weights_to_bf16():
+    import jax.numpy as jnp
+
+    from audio_residual_tpu.models.factory import convert_weights_to_bf16
+    from tests.tiny import tiny_clap_params
+
+    p = convert_weights_to_bf16(tiny_clap_params())
+    assert p["audio_projection"]["fc1"]["kernel"].dtype == jnp.bfloat16
+    assert p["audio_projection"]["fc1"]["bias"].dtype == jnp.float32
+    assert p["logit_scale_a"].dtype == jnp.float32
