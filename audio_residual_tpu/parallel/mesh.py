@@ -25,6 +25,12 @@ __all__ = ["data_parallel_mesh", "shard_batch", "replicate", "P", "Mesh", "Named
 def data_parallel_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"data_parallel_mesh({n_devices}) needs {n_devices} devices but the "
+                f"{devs[0].platform if devs else '?'} backend exposes {len(devs)}; "
+                "a silent smaller mesh would fake multi-chip coverage"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
