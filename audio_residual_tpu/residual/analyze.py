@@ -79,11 +79,21 @@ class AttentionPCA:
             rows = attn.transpose(1, 0, 2, 3).reshape(h, bnw, n * n)
             self.states[i] = pca_ops.batched_pca_update(self.states[i], rows)
 
-    def finalize(self, n_components: int | None = None) -> dict:
-        """-> {(layer, head): reference-schema result dict}."""
+    def finalize(
+        self, n_components: int | None = None, *, return_components: bool = False
+    ) -> dict:
+        """-> {(layer, head): reference-schema result dict}.
+
+        ``return_components`` defaults to False: the attention analysis
+        (`analyze_attention.py:62-99` CSV schema) consumes only the variance
+        spectrum, and skipping the [heads, k, 4096] eigenvector block keeps
+        the large-dim finalize's device->host transfer in the kilobytes.
+        """
         out = {}
         for layer, state in enumerate(self.states):
-            res = pca_ops.pca_finalize(state, n_components)
+            res = pca_ops.pca_finalize(
+                state, n_components, return_components=return_components
+            )
             for head in range(self.num_heads[layer]):
                 out[(layer, head)] = {
                     k: (v[head] if isinstance(v, np.ndarray) and v.ndim > 0 and v.shape[0] == self.num_heads[layer] else v)
