@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audio_residual_tpu.models import bart as bart_mod
+from audio_residual_tpu.models import clip_text as clip_text_mod
 from audio_residual_tpu.models import htsat as htsat_mod
 from audio_residual_tpu.models import roberta as roberta_mod
 
@@ -35,10 +37,37 @@ class CLAPConfig:
     joint_embed_shape: int = 512
     mlp_act: str = "relu"
     audio: htsat_mod.HTSATConfig = field(default_factory=htsat_mod.HTSATConfig)
-    text: roberta_mod.RobertaConfig = field(default_factory=roberta_mod.RobertaConfig)
-    text_model_type: str = "roberta"
+    # RobertaConfig (roberta/bert — bert via style="bert"), ClipTextConfig
+    # (transformer), or BartConfig (bart); must match text_model_type.
+    text: Any = field(default_factory=roberta_mod.RobertaConfig)
+    text_model_type: str = "roberta"  # roberta | bert | transformer | bart
     audio_model_type: str = "HTSAT"
     context_length: int = 77
+
+
+def text_tower_width(cfg: CLAPConfig) -> int:
+    """Input width of the text projection MLP — transformer towers project
+    from ``width`` (512 for the CLIP tower), HF-style towers from
+    ``hidden_size``/``d_model`` = 768 (`model.py:486-527`)."""
+    t = cfg.text_model_type
+    if t == "transformer":
+        return cfg.text.width
+    if t in ("roberta", "bert"):
+        return cfg.text.hidden_size
+    if t == "bart":
+        return cfg.text.d_model
+    raise RuntimeError(f"Model config for {t} not found.")
+
+
+def _init_text_branch(key: jax.Array, cfg: CLAPConfig) -> dict:
+    t = cfg.text_model_type
+    if t in ("roberta", "bert"):
+        return roberta_mod.init_roberta_params(key, cfg.text)
+    if t == "transformer":
+        return clip_text_mod.init_clip_text_params(key, cfg.text)
+    if t == "bart":
+        return bart_mod.init_bart_params(key, cfg.text)
+    raise RuntimeError(f"Model config for {t} not found.")
 
 
 def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
@@ -79,10 +108,10 @@ def _proj_init(key, d_in, d_mid, d_out):
 def init_clap_params(key: jax.Array, cfg: CLAPConfig = CLAPConfig()) -> dict:
     ka, kt, k1, k2, k3, k4 = jax.random.split(key, 6)
     j = cfg.joint_embed_shape
-    text_width = cfg.text.hidden_size
+    text_width = text_tower_width(cfg)
     return {
         "audio_branch": htsat_mod.init_htsat_params(ka, cfg.audio),
-        "text_branch": roberta_mod.init_roberta_params(kt, cfg.text),
+        "text_branch": _init_text_branch(kt, cfg),
         # two-layer MLP projections (`model.py:517-537`)
         "audio_projection": _proj_init(k1, cfg.embed_dim, j, j),
         "text_projection": _proj_init(k2, text_width, j, j),
@@ -161,11 +190,28 @@ def encode_text(
     *,
     normalize: bool = True,
 ) -> jnp.ndarray:
-    """Text branch -> pooler -> projection (-> L2 normalise)
-    (`model.py:629-636,698-712`)."""
-    pooled = roberta_mod.roberta_apply(
-        params["text_branch"], input_ids, attention_mask, cfg.text
-    )["pooler_output"]
+    """Text branch -> tower feature -> projection (-> L2 normalise),
+    dispatched on ``cfg.text_model_type`` (`model.py:602-648`):
+
+    * roberta / bert — HF-style ``pooler_output`` (`model.py:617-636`)
+    * transformer — CLIP tower, EOT-token feature (`model.py:603-616`)
+    * bart — **unmasked** mean over ``encoder_last_hidden_state``
+      (`model.py:637-645` averages padding positions too)
+    """
+    t = cfg.text_model_type
+    if t in ("roberta", "bert"):
+        pooled = roberta_mod.roberta_apply(
+            params["text_branch"], input_ids, attention_mask, cfg.text
+        )["pooler_output"]
+    elif t == "transformer":
+        pooled = clip_text_mod.clip_text_apply(params["text_branch"], input_ids, cfg.text)
+    elif t == "bart":
+        hidden = bart_mod.bart_apply(
+            params["text_branch"], input_ids, attention_mask, cfg.text
+        )["encoder_last_hidden_state"]
+        pooled = jnp.mean(hidden, axis=1)
+    else:
+        raise RuntimeError(f"Model type {t} not found.")
     x = apply_projection(cfg, params["text_projection"], pooled)
     if normalize:
         x = l2_normalize(x)

@@ -27,7 +27,16 @@ from typing import Mapping
 
 import numpy as np
 
-__all__ = ["load_torch_checkpoint", "convert_clap_state_dict", "convert_htsat_state_dict", "convert_roberta_state_dict"]
+__all__ = [
+    "load_torch_checkpoint",
+    "convert_clap_state_dict",
+    "convert_htsat_state_dict",
+    "convert_roberta_state_dict",
+    "convert_bart_state_dict",
+    "htsat_params_to_state_dict",
+    "roberta_params_to_state_dict",
+    "clap_params_to_state_dict",
+]
 
 
 def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
@@ -166,9 +175,72 @@ def convert_roberta_state_dict(sd: Mapping[str, np.ndarray], prefix: str = "text
     return p
 
 
+def convert_bart_state_dict(sd: Mapping[str, np.ndarray], prefix: str = "text_branch.") -> dict:
+    """HF BartModel encoder subtree -> our params pytree (models/bart.py).
+
+    The CLAP bart branch only ever runs the encoder
+    (`model.py:637-645` uses ``encoder_last_hidden_state``); decoder keys are
+    ignored.
+    """
+    g = prefix
+    num_layers = 0
+    pat = re.compile(re.escape(g) + r"encoder\.layers\.(\d+)\.")
+    for k in sd:
+        m = pat.match(k)
+        if m:
+            num_layers = max(num_layers, int(m.group(1)) + 1)
+    p: dict = {
+        "embed_tokens": np.asarray(sd[g + "encoder.embed_tokens.weight"]),
+        "embed_positions": np.asarray(sd[g + "encoder.embed_positions.weight"]),
+        "ln_emb": _ln(sd, g + "encoder.layernorm_embedding"),
+        "layers": [],
+    }
+    for i in range(num_layers):
+        lp = f"{g}encoder.layers.{i}."
+        p["layers"].append(
+            {
+                "attn": {
+                    "q": _lin(sd, lp + "self_attn.q_proj"),
+                    "k": _lin(sd, lp + "self_attn.k_proj"),
+                    "v": _lin(sd, lp + "self_attn.v_proj"),
+                    "out": _lin(sd, lp + "self_attn.out_proj"),
+                },
+                "ln1": _ln(sd, lp + "self_attn_layer_norm"),
+                "fc1": _lin(sd, lp + "fc1"),
+                "fc2": _lin(sd, lp + "fc2"),
+                "ln2": _ln(sd, lp + "final_layer_norm"),
+            }
+        )
+    return p
+
+
 def _seq_mlp(sd, prefix, idx=(0, 2)):
     """nn.Sequential(Linear, act, Linear) -> {fc1, fc2} (`model.py:533-537`)."""
     return {"fc1": _lin(sd, f"{prefix}.{idx[0]}"), "fc2": _lin(sd, f"{prefix}.{idx[1]}")}
+
+
+def _convert_text_branch(sd: Mapping[str, np.ndarray]) -> dict:
+    """Dispatch the text tower on the checkpoint's key layout
+    (`model.py:494-527`): HF encoder.layer.* (roberta/bert), HF
+    encoder.layers.* (bart), or the CLIP transformer whose resblocks live
+    under ``text_branch.`` with token/positional embeddings on the model
+    root (`model.py:505-513`)."""
+    if any(k.startswith("text_branch.encoder.layers.") for k in sd):
+        return convert_bart_state_dict(sd, "text_branch.")
+    if any(k.startswith("text_branch.resblocks.") for k in sd):
+        from audio_residual_tpu.models.openai import convert_openai_text_tower
+
+        remapped = {
+            (
+                k.replace("text_branch.", "transformer.")
+                if k.startswith("text_branch.")
+                else k
+            ): v
+            for k, v in sd.items()
+        }
+        params, _ = convert_openai_text_tower(remapped)
+        return params
+    return convert_roberta_state_dict(sd, "text_branch.")
 
 
 def convert_clap_state_dict(sd: Mapping[str, np.ndarray], depths=(2, 2, 6, 2)) -> dict:
@@ -176,7 +248,7 @@ def convert_clap_state_dict(sd: Mapping[str, np.ndarray], depths=(2, 2, 6, 2)) -
     :func:`audio_residual_tpu.models.clap.clap_apply`."""
     params = {
         "audio_branch": convert_htsat_state_dict(sd, "audio_branch.", depths),
-        "text_branch": convert_roberta_state_dict(sd, "text_branch."),
+        "text_branch": _convert_text_branch(sd),
         "audio_projection": _seq_mlp(sd, "audio_projection"),
         "text_projection": _seq_mlp(sd, "text_projection"),
         # MLPLayers: Sequential(Linear, ReLU, Dropout, Linear) -> indices 0, 3
@@ -186,3 +258,103 @@ def convert_clap_state_dict(sd: Mapping[str, np.ndarray], depths=(2, 2, 6, 2)) -
         "logit_scale_t": np.asarray(sd["logit_scale_t"]),
     }
     return params
+
+
+# --------------------------------------------------------------------------
+# Reverse converters: our params pytrees -> reference-layout state dicts
+# (numpy arrays keyed by the reference's torch names). Exact inverses of the
+# loaders above — torch.load(convert(x)) == x bit-for-bit — so checkpoints
+# flow back to torch users (`hook.py:75-119` consumes this layout).
+# --------------------------------------------------------------------------
+
+
+def _rt(x):  # kernel -> linear weight
+    return np.ascontiguousarray(np.asarray(x).T)
+
+
+def _rconv(x):  # HWIO -> OIHW
+    return np.ascontiguousarray(np.transpose(np.asarray(x), (3, 2, 0, 1)))
+
+
+def _rlin(out, dst, p):
+    out[dst + ".weight"] = _rt(p["kernel"])
+    if "bias" in p:
+        out[dst + ".bias"] = np.asarray(p["bias"])
+
+
+def _rln(out, dst, p):
+    out[dst + ".weight"] = np.asarray(p["scale"])
+    out[dst + ".bias"] = np.asarray(p["bias"])
+
+
+def htsat_params_to_state_dict(params: dict, prefix: str = "audio_branch.") -> dict:
+    """Our HTSAT pytree -> reference `htsat.py` state-dict names."""
+    sd: dict = {}
+    sd[prefix + "bn0.weight"] = np.asarray(params["bn0"]["scale"])
+    sd[prefix + "bn0.bias"] = np.asarray(params["bn0"]["bias"])
+    sd[prefix + "bn0.running_mean"] = np.asarray(params["bn0"]["mean"])
+    sd[prefix + "bn0.running_var"] = np.asarray(params["bn0"]["var"])
+    sd[prefix + "patch_embed.proj.weight"] = _rconv(params["patch_embed"]["proj"]["kernel"])
+    sd[prefix + "patch_embed.proj.bias"] = np.asarray(params["patch_embed"]["proj"]["bias"])
+    _rln(sd, prefix + "patch_embed.norm", params["patch_embed"]["norm"])
+    for i, layer in enumerate(params["layers"]):
+        for j, blk in enumerate(layer["blocks"]):
+            bp = f"{prefix}layers.{i}.blocks.{j}."
+            _rln(sd, bp + "norm1", blk["norm1"])
+            _rlin(sd, bp + "attn.qkv", blk["attn"]["qkv"])
+            _rlin(sd, bp + "attn.proj", blk["attn"]["proj"])
+            sd[bp + "attn.relative_position_bias_table"] = np.asarray(
+                blk["attn"]["rel_bias_table"]
+            )
+            _rln(sd, bp + "norm2", blk["norm2"])
+            _rlin(sd, bp + "mlp.fc1", blk["mlp"]["fc1"])
+            _rlin(sd, bp + "mlp.fc2", blk["mlp"]["fc2"])
+        if "downsample" in layer:
+            dp = f"{prefix}layers.{i}.downsample."
+            _rln(sd, dp + "norm", layer["downsample"]["norm"])
+            _rlin(sd, dp + "reduction", layer["downsample"]["reduction"])
+    _rln(sd, prefix + "norm", params["norm"])
+    sd[prefix + "tscam_conv.weight"] = _rconv(params["tscam_conv"]["kernel"])
+    sd[prefix + "tscam_conv.bias"] = np.asarray(params["tscam_conv"]["bias"])
+    _rlin(sd, prefix + "head", params["head"])
+    return sd
+
+
+def roberta_params_to_state_dict(params: dict, prefix: str = "text_branch.") -> dict:
+    """Our roberta/bert pytree -> HF state-dict names."""
+    sd: dict = {}
+    emb = params["embeddings"]
+    sd[prefix + "embeddings.word_embeddings.weight"] = np.asarray(emb["word"])
+    sd[prefix + "embeddings.position_embeddings.weight"] = np.asarray(emb["position"])
+    sd[prefix + "embeddings.token_type_embeddings.weight"] = np.asarray(emb["token_type"])
+    _rln(sd, prefix + "embeddings.LayerNorm", emb["ln"])
+    for i, lp in enumerate(params["layers"]):
+        b = f"{prefix}encoder.layer.{i}."
+        _rlin(sd, b + "attention.self.query", lp["attn"]["q"])
+        _rlin(sd, b + "attention.self.key", lp["attn"]["k"])
+        _rlin(sd, b + "attention.self.value", lp["attn"]["v"])
+        _rlin(sd, b + "attention.output.dense", lp["attn"]["out"])
+        _rln(sd, b + "attention.output.LayerNorm", lp["ln1"])
+        _rlin(sd, b + "intermediate.dense", lp["mlp"]["fc1"])
+        _rlin(sd, b + "output.dense", lp["mlp"]["fc2"])
+        _rln(sd, b + "output.LayerNorm", lp["ln2"])
+    _rlin(sd, prefix + "pooler.dense", params["pooler"])
+    return sd
+
+
+def clap_params_to_state_dict(params: dict) -> dict:
+    """Our full CLAP pytree (roberta tower) -> reference CLAP state dict."""
+    sd = htsat_params_to_state_dict(params["audio_branch"], "audio_branch.")
+    sd.update(roberta_params_to_state_dict(params["text_branch"], "text_branch."))
+    # nn.Sequential(Linear, act, Linear) -> 0 / 2; MLPLayers -> sequential.0 / .3
+    _rlin(sd, "audio_projection.0", params["audio_projection"]["fc1"])
+    _rlin(sd, "audio_projection.2", params["audio_projection"]["fc2"])
+    _rlin(sd, "text_projection.0", params["text_projection"]["fc1"])
+    _rlin(sd, "text_projection.2", params["text_projection"]["fc2"])
+    _rlin(sd, "audio_transform.sequential.0", params["audio_transform"]["fc1"])
+    _rlin(sd, "audio_transform.sequential.3", params["audio_transform"]["fc2"])
+    _rlin(sd, "text_transform.sequential.0", params["text_transform"]["fc1"])
+    _rlin(sd, "text_transform.sequential.3", params["text_transform"]["fc2"])
+    sd["logit_scale_a"] = np.asarray(params["logit_scale_a"])
+    sd["logit_scale_t"] = np.asarray(params["logit_scale_t"])
+    return sd

@@ -23,6 +23,8 @@ import jax
 
 from audio_residual_tpu.models import clap as clap_mod
 from audio_residual_tpu.models import convert as convert_mod
+from audio_residual_tpu.models.bart import BartConfig
+from audio_residual_tpu.models.clip_text import ClipTextConfig
 from audio_residual_tpu.models.htsat import HTSAT_VARIANTS, HTSATConfig
 from audio_residual_tpu.models.pann import PANNConfig
 from audio_residual_tpu.models.roberta import RobertaConfig
@@ -107,6 +109,32 @@ def _amodel_to_config(model_cfg: dict, enable_fusion: bool, fusion_type: str) ->
     return audio
 
 
+def _tmodel_to_config(tmodel_name: str, text_cfg_json: dict):
+    """Text-tower dispatch (`model.py:494-527`): roberta-base / bert-base-
+    uncased / the config file's CLIP transformer / bart-base."""
+    if tmodel_name == "roberta":
+        return RobertaConfig()
+    if tmodel_name == "bert":
+        return RobertaConfig(
+            vocab_size=30522,
+            max_position_embeddings=512,
+            type_vocab_size=2,
+            pad_token_id=0,
+            style="bert",
+        )
+    if tmodel_name == "transformer":
+        return ClipTextConfig(
+            vocab_size=text_cfg_json["vocab_size"],
+            width=text_cfg_json["width"],
+            heads=text_cfg_json["heads"],
+            layers=text_cfg_json["layers"],
+            context_length=text_cfg_json["context_length"],
+        )
+    if tmodel_name == "bart":
+        return BartConfig()
+    raise RuntimeError(f"Model config for {tmodel_name} not found.")
+
+
 def create_model(
     amodel_name: str,
     tmodel_name: str = "roberta",
@@ -120,32 +148,25 @@ def create_model(
     (`factory.py:73-227`). ``pretrained`` may be a torch checkpoint path —
     converted via models/convert.py.
 
-    ``tmodel_name``: "roberta" (default; full support) — "bert"/"bart"/
-    "transformer" text towers are registered in the config schema but only
-    roberta is implemented natively so far (the published audio checkpoints
-    all use roberta).
+    ``tmodel_name`` dispatches the text tower like the reference
+    (`model.py:494-527`): "roberta" (the published audio checkpoints' tower),
+    "bert" (bert-base-uncased layout), "transformer" (the CLIP BPE tower from
+    the model config's ``text_cfg``), or "bart" (bart-base encoder).
     """
     amodel_name = amodel_name.replace("/", "-")
     model_cfg = get_model_config(amodel_name)
     audio_cfg = _amodel_to_config(model_cfg, enable_fusion, fusion_type)
+    text_cfg = _tmodel_to_config(tmodel_name, model_cfg["text_cfg"])
 
-    if tmodel_name != "roberta":
-        raise NotImplementedError(
-            f"text tower {tmodel_name!r}: only 'roberta' is implemented natively"
-        )
-    text_cfg = RobertaConfig()
-
+    kwargs = dict(
+        embed_dim=model_cfg["embed_dim"],
+        audio=audio_cfg,
+        text=text_cfg,
+        text_model_type=tmodel_name,
+    )
     if model_cfg["audio_cfg"]["model_type"] == "PANN":
-        cfg = clap_mod.CLAPConfig(
-            embed_dim=model_cfg["embed_dim"],
-            audio=audio_cfg,
-            text=text_cfg,
-            audio_model_type="PANN",
-        )
-    else:
-        cfg = clap_mod.CLAPConfig(
-            embed_dim=model_cfg["embed_dim"], audio=audio_cfg, text=text_cfg
-        )
+        kwargs["audio_model_type"] = "PANN"
+    cfg = clap_mod.CLAPConfig(**kwargs)
 
     if pretrained:
         params = load_checkpoint_params(pretrained, cfg)
@@ -171,8 +192,10 @@ def load_checkpoint_params(path: str, cfg: clap_mod.CLAPConfig) -> dict:
 
 
 def create_model_and_transforms(*args, **kwargs):
-    """API-name parity with `factory.py:230-255`: for audio models the
-    "transforms" are the featurization contract, returned as a callable."""
+    """API-name parity with the reference's ``create_model_and_transforms``
+    (`factory.py:230-240`, which wraps ``create_model`` with image
+    preprocessing transforms): for audio models the "transforms" are the
+    featurization contract, returned as a callable."""
     from audio_residual_tpu.data.featurize import featurize_batch
 
     params, cfg, model_cfg = create_model(*args, **kwargs)
@@ -186,8 +209,13 @@ def create_model_and_transforms(*args, **kwargs):
 
 def convert_weights_to_bf16(params):
     """Cast floating-point >=2-D weights to bfloat16 — the TPU counterpart of
-    ``convert_weights_to_fp16`` (`model.py:826-848`); biases/norms stay f32
-    like the reference keeps LN in fp32."""
+    ``convert_weights_to_fp16`` (`model.py:826-848`).
+
+    Deliberate deviation: the reference casts biases (incl. attention
+    in_proj biases) to fp16 too; here biases and norm params stay f32.
+    bf16's 8-bit mantissa makes small additive terms noisier than fp16's
+    10-bit, the f32 copies cost nothing on the MXU path (inputs dominate),
+    and XLA fuses the mixed-precision adds for free."""
     import jax
     import jax.numpy as jnp
 
