@@ -68,15 +68,20 @@ def featurize_batch(
 ) -> dict:
     """Batched featurization: ``[B, T] -> {"waveform": [B, max_len],
     "longer": [B]}``. T is static; all samples share one branch (the
-    per-dataset common case — ESC-50 is always 240000)."""
+    per-dataset common case — ESC-50 is always 240000).
+
+    ``rand_trunc`` crops at random positions like the reference
+    (`data.py:465-468`); pass ``rng`` to vary crops across calls (the
+    jitted train/eval loops fold the step index in). With ``rng=None`` a
+    fixed seed keeps the crop random-positioned but reproducible.
+    """
     b, t = wav.shape
     if t > max_len:
         longer = jnp.ones((b,), bool)
         if data_truncating == "rand_trunc":
             if rng is None:
-                starts = jnp.zeros((b,), jnp.int32)
-            else:
-                starts = jax.random.randint(rng, (b,), 0, t - max_len + 1)
+                rng = jax.random.PRNGKey(0)
+            starts = jax.random.randint(rng, (b,), 0, t - max_len + 1)
             idx = starts[:, None] + jnp.arange(max_len)[None, :]
             wav = jnp.take_along_axis(wav, idx, axis=1)
         else:

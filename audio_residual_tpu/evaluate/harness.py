@@ -17,7 +17,100 @@ import numpy as np
 
 from audio_residual_tpu.evaluate.metrics import classification_metrics, retrieval_metrics
 
-__all__ = ["aggregate_eval_metrics", "compare_variants", "eval_linear_probe_sweep", "eval_dcase"]
+__all__ = [
+    "aggregate_eval_metrics",
+    "compare_variants",
+    "eval_linear_probe_sweep",
+    "eval_dcase",
+    "visualize_eval_metrics",
+    "plot_lambda_histogram",
+]
+
+
+def visualize_eval_metrics(
+    save_dir: str,
+    dataset_name: str,
+    n_folds: int,
+    inject_layers=(),
+    k_top: int = 5,
+    *,
+    class_names=None,
+    fig_path: str | None = None,
+) -> dict:
+    """Cross-fold metrics + aggregated confusion-matrix heatmap —
+    `src/evaluation.py:132-198` with the same .npz filename schema
+    (``layers_{l}_evalfold_{i}.npz`` for ResiDual runs, ``evalfold_{i}.npz``
+    for baseline/linear). Headless-friendly: pass ``fig_path`` to render the
+    heatmap to a file (matplotlib optional import); returns the metrics dict
+    either way."""
+    layers_str = "_".join(map(str, inject_layers)) if inject_layers else ""
+    per_fold = {"acc": [], "topk": [], "prec": [], "rec": [], "f1": []}
+    agg_cm = None
+    n_classes = None
+    for i in range(n_folds):
+        name = (
+            f"layers_{layers_str}_evalfold_{i}.npz" if layers_str else f"evalfold_{i}.npz"
+        )
+        data = np.load(os.path.join(save_dir, name))
+        sims = data["similarities"]
+        y_pred = np.asarray(data["predictions"])
+        y_true = np.asarray(data["targets"])
+        if n_classes is None:
+            n_classes = sims.shape[1]
+            agg_cm = np.zeros((n_classes, n_classes), np.int64)
+        m = classification_metrics(sims, y_true, topk=min(k_top, n_classes))
+        per_fold["acc"].append(float((y_pred == y_true).mean()))
+        per_fold["topk"].append(m[f"top{min(k_top, n_classes)}_accuracy"])
+        per_fold["prec"].append(m["precision_macro"])
+        per_fold["rec"].append(m["recall_macro"])
+        per_fold["f1"].append(m["f1_macro"])
+        np.add.at(agg_cm, (y_true, y_pred), 1)
+    out = {"confusion_matrix": agg_cm, "n_folds": n_folds}
+    for k, vals in per_fold.items():
+        v = np.asarray(vals, float)
+        out[f"{k}_mean"] = float(v.mean())
+        out[f"{k}_std"] = float(v.std(ddof=1)) if n_folds > 1 else 0.0
+    if fig_path:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(12, 10))
+        im = ax.imshow(agg_cm, cmap="Blues")
+        fig.colorbar(im, ax=ax)
+        if class_names is not None:
+            ax.set_xticks(range(n_classes), class_names, rotation=90, fontsize=6)
+            ax.set_yticks(range(n_classes), class_names, fontsize=6)
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("True")
+        ax.set_title("Aggregated Confusion Matrix (sum over folds)")
+        fig.tight_layout()
+        fig.savefig(fig_path, dpi=120)
+        plt.close(fig)
+        out["figure"] = fig_path
+    return out
+
+
+def plot_lambda_histogram(lam, fig_path: str, *, title: str = "ResiDual λ") -> str:
+    """Render a trained-λ histogram to a file — the file-based equivalent of
+    the reference's ``wandb.Histogram(residual.learnable)`` logging
+    (`src/training.py:128-135`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    lam = np.asarray(lam).ravel()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(lam, bins=min(64, max(8, lam.size // 4)))
+    ax.set_xlabel("λ value")
+    ax.set_ylabel("count")
+    ax.set_title(f"{title} (K={lam.size})")
+    fig.tight_layout()
+    fig.savefig(fig_path, dpi=120)
+    plt.close(fig)
+    return fig_path
 
 
 def aggregate_eval_metrics(npz_dir: str, pattern: str = "*.npz", topk: int = 5) -> dict:

@@ -59,6 +59,8 @@ class CLAPModule:
         self.amodel = amodel
         self.tokenize = tokenizer or load_default_tokenizer(self.cfg.context_length)
         self._embed_cache: dict = {}
+        self._crop_seed = seed
+        self._crop_calls = 0
 
     def tokenizer(self, text):
         """`hook.py:64-73` contract: dict with input_ids/attention_mask."""
@@ -107,9 +109,9 @@ class CLAPModule:
             cfg = self.cfg
 
             @jax.jit
-            def f(params, wav):
+            def f(params, wav, rng):
                 w = quantize_roundtrip(wav) if quantize else wav
-                batch = featurize_batch(w, cfg.audio.clip_samples)
+                batch = featurize_batch(w, cfg.audio.clip_samples, rng=rng)
                 return clap_mod.encode_audio(params, batch, cfg, taps=taps, residual=residual)
 
             self._embed_cache[key] = f
@@ -120,8 +122,12 @@ class CLAPModule:
         b = self._bucket(n)
         if b != n:
             x = np.concatenate([x, np.zeros((b - n, t), x.dtype)])
+        # fresh crop rng per call so >max_len clips random-crop like the
+        # reference (`data.py:465-468`) while staying reproducible per module
+        rng = jax.random.fold_in(jax.random.PRNGKey(self._crop_seed), self._crop_calls)
+        self._crop_calls += 1
         out = self._audio_fn((b, t), quantize=quantize, taps=taps, residual=residual)(
-            self.params, jnp.asarray(x)
+            self.params, jnp.asarray(x), rng
         )
         return jax.tree.map(lambda a: a[:n], out)
 

@@ -23,7 +23,23 @@ __all__ = [
     "save_most_recent",
     "maintain_ckpts",
     "update_top_k_performance",
+    "save_torch_compatible",
 ]
+
+
+def save_torch_compatible(path: str, params: dict, *, epoch: int = 0, name: str = "") -> str:
+    """Export our CLAP params as a reference-layout torch checkpoint
+    (`main.py:534-561` schema: {epoch, name, state_dict}) so the file loads
+    in the reference via `hook.py:75-119` — and back into this framework via
+    ``factory.load_checkpoint_params`` / ``CLAPModule.load_ckpt``, bit-for-bit
+    (tests/test_api.py round-trip)."""
+    import torch
+
+    from audio_residual_tpu.models.convert import clap_params_to_state_dict
+
+    sd = {k: torch.from_numpy(v.copy()) for k, v in clap_params_to_state_dict(params).items()}
+    torch.save({"epoch": epoch, "name": name, "state_dict": sd}, path)
+    return path
 
 
 def _ckptr():

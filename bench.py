@@ -11,7 +11,11 @@ small number of clips (torch-CPU is ~3 orders of magnitude slower). The
 baseline number is cached in .bench_baseline.json after first measurement.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": clips/sec, "unit": "clips/sec/chip", "vs_baseline": x}
+  {"metric": ..., "value": clips/sec, "unit": "clips/sec/chip",
+   "vs_baseline": x, "mfu": f}  — ``mfu`` is model-FLOPs utilisation:
+XLA's cost-analysis FLOP count for the compiled program divided by
+(measured seconds x the chip's peak dense FLOPs/s), so "fast" is judged
+against the hardware ceiling, not only the torch-CPU baseline.
 """
 
 from __future__ import annotations
@@ -38,7 +42,29 @@ def make_inputs(batch: int, seed: int = 0) -> np.ndarray:
     return (rng.standard_normal((batch, CLIP_SAMPLES)) * 0.1).astype(np.float32)
 
 
-def bench_jax_tpu() -> float:
+# peak dense bf16 FLOPs/s per chip by device kind (public TPU specs);
+# f32 on the MXU runs via multi-pass at lower rate, so bf16 peak is the
+# conventional MFU denominator
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "")
+    for k, v in _PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return None
+
+
+def bench_jax_tpu() -> tuple[float, float | None]:
     import jax
 
     # persistent compile cache: remote TPU compiles vary 20 s - 20 min under
@@ -86,17 +112,35 @@ def bench_jax_tpu() -> float:
         return s
 
     wav = jnp.asarray(make_inputs(BATCH))
-    float(np.asarray(multi(params, wav)))  # compile + sync
-    t0 = time.perf_counter()
-    float(np.asarray(multi(params, wav)))
-    dt = (time.perf_counter() - t0) / n_iters
-    return BATCH / dt
+    compiled = jax.jit(multi).lower(params, wav).compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca["flops"])  # whole program = n_iters x one batch
+    except Exception:
+        pass
+
+    float(np.asarray(compiled(params, wav)))  # warm + sync
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(compiled(params, wav)))
+        times.append(time.perf_counter() - t0)
+    dt_program = float(np.median(times))
+    clips_per_sec = BATCH / (dt_program / n_iters)
+    peak = _peak_flops(jax.devices()[0])
+    mfu = (flops / dt_program / peak) if (flops and peak) else None
+    return clips_per_sec, mfu
 
 
 def bench_torch_cpu() -> float:
+    # keyed "median3" so stale single-run caches from round 1 re-measure
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["torch_cpu_clips_per_sec"]
+            cached = json.load(f)
+        if "torch_cpu_clips_per_sec_median3" in cached:
+            return cached["torch_cpu_clips_per_sec_median3"]
 
     import torch
 
@@ -113,17 +157,19 @@ def bench_torch_cpu() -> float:
     x = {"waveform": torch.from_numpy(wav)}
     with torch.no_grad():
         model(x, device="cpu")  # warmup
-        t0 = time.perf_counter()
-        model(x, device="cpu")
-        dt = time.perf_counter() - t0
-    clips_per_sec = wav.shape[0] / dt
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            model(x, device="cpu")
+            times.append(time.perf_counter() - t0)
+    clips_per_sec = wav.shape[0] / float(np.median(times))
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"torch_cpu_clips_per_sec": clips_per_sec}, f)
+        json.dump({"torch_cpu_clips_per_sec_median3": clips_per_sec}, f)
     return clips_per_sec
 
 
 def main() -> None:
-    value = bench_jax_tpu()
+    value, mfu = bench_jax_tpu()
     try:
         baseline = bench_torch_cpu()
     except Exception:
@@ -136,6 +182,7 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "clips/sec",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "mfu": round(mfu, 4) if mfu else None,
             }
         )
     )

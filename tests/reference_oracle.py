@@ -91,15 +91,23 @@ def _install_shims():
     sys.modules["torchlibrosa.augmentation"] = tl_aug
 
     if "torchvision" not in sys.modules:
+        import importlib.machinery
+
         tv = types.ModuleType("torchvision")
         tv_ops = types.ModuleType("torchvision.ops")
         tv_misc = types.ModuleType("torchvision.ops.misc")
         tv_misc.FrozenBatchNorm2d = nn.BatchNorm2d
         tv_ops.misc = tv_misc
         tv.ops = tv_ops
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tv_ops
-        sys.modules["torchvision.ops.misc"] = tv_misc
+        # a real ModuleSpec so importlib.util.find_spec("torchvision") (used
+        # by transformers' import probing) doesn't raise on __spec__ is None
+        for name, mod in (
+            ("torchvision", tv),
+            ("torchvision.ops", tv_ops),
+            ("torchvision.ops.misc", tv_misc),
+        ):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod
 
 
 def _load_ref_package():
@@ -111,7 +119,8 @@ def _load_ref_package():
     pkg.__path__ = [REF_DIR]
     pkg.__package__ = "ref_clap"
     sys.modules["ref_clap"] = pkg
-    for name in ("utils", "feature_fusion", "htsat", "pann_model"):
+    for name in ("utils", "feature_fusion", "htsat", "pann_model", "timm_model",
+                 "model", "loss"):
         spec = importlib.util.spec_from_file_location(
             f"ref_clap.{name}", f"{REF_DIR}/{name}.py",
             submodule_search_locations=None,
@@ -121,7 +130,44 @@ def _load_ref_package():
         sys.modules[f"ref_clap.{name}"] = mod
         spec.loader.exec_module(mod)
         setattr(pkg, name, mod)
+    # The reference CLAP hard-codes HF from_pretrained downloads
+    # (`model.py:496-516`); this environment is offline, and parity tests share
+    # *random* weights anyway — swap in config-built local models.
+    pkg.model.RobertaModel = _offline_hf("RobertaModel")
+    pkg.model.BertModel = _offline_hf("BertModel")
+    pkg.model.BartModel = _offline_hf("BartModel")
     return pkg
+
+
+def _offline_hf(cls_name: str):
+    """HF model class whose from_pretrained builds from the matching base
+    config instead of downloading (roberta-base / bert-base-uncased /
+    bart-base dims)."""
+    import transformers
+
+    base = getattr(transformers, cls_name)
+    configs = {
+        # HF RobertaConfig *defaults* are bert-like (512 pos / type_vocab 2);
+        # real roberta-base uses 514 learned positions and one token type
+        "RobertaModel": lambda: transformers.RobertaConfig(
+            max_position_embeddings=514, type_vocab_size=1, pad_token_id=1,
+            bos_token_id=0, eos_token_id=2,
+        ),
+        "BertModel": transformers.BertConfig,  # defaults = bert-base-uncased
+        "BartModel": lambda: transformers.BartConfig(  # HF defaults are -large
+            d_model=768, encoder_layers=6, decoder_layers=6,
+            encoder_attention_heads=12, decoder_attention_heads=12,
+            encoder_ffn_dim=3072, decoder_ffn_dim=3072,
+        ),
+    }
+
+    class Offline(base):
+        @classmethod
+        def from_pretrained(cls, name, *args, **kwargs):
+            return cls(configs[cls_name]())
+
+    Offline.__name__ = f"Offline{cls_name}"
+    return Offline
 
 
 class _AudioCfg:
@@ -151,48 +197,19 @@ def build_reference_htsat(cfg_overrides: dict | None = None, **model_kw) -> nn.M
     return model
 
 
+def _to_torch_sd(sd_np: dict) -> dict[str, torch.Tensor]:
+    return {
+        k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+        for k, v in sd_np.items()
+    }
+
+
 def jax_params_to_torch_state(params: dict, prefix: str = "") -> dict[str, torch.Tensor]:
-    """Reverse of models/convert.py: our HTSAT pytree -> reference state_dict."""
-    sd: dict[str, torch.Tensor] = {}
+    """Our HTSAT pytree -> reference state_dict (delegates to the package's
+    reverse converter so tests exercise the shipping export path)."""
+    from audio_residual_tpu.models.convert import htsat_params_to_state_dict
 
-    def T(x):
-        return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
-
-    def lin(dst, p):
-        sd[dst + ".weight"] = T(p["kernel"]).T.contiguous()
-        if "bias" in p:
-            sd[dst + ".bias"] = T(p["bias"])
-
-    def ln(dst, p):
-        sd[dst + ".weight"] = T(p["scale"])
-        sd[dst + ".bias"] = T(p["bias"])
-
-    sd[prefix + "bn0.weight"] = T(params["bn0"]["scale"])
-    sd[prefix + "bn0.bias"] = T(params["bn0"]["bias"])
-    sd[prefix + "bn0.running_mean"] = T(params["bn0"]["mean"])
-    sd[prefix + "bn0.running_var"] = T(params["bn0"]["var"])
-    sd[prefix + "patch_embed.proj.weight"] = T(params["patch_embed"]["proj"]["kernel"]).permute(3, 2, 0, 1).contiguous()
-    sd[prefix + "patch_embed.proj.bias"] = T(params["patch_embed"]["proj"]["bias"])
-    ln(prefix + "patch_embed.norm", params["patch_embed"]["norm"])
-    for i, layer in enumerate(params["layers"]):
-        for j, blk in enumerate(layer["blocks"]):
-            bp = f"{prefix}layers.{i}.blocks.{j}."
-            ln(bp + "norm1", blk["norm1"])
-            lin(bp + "attn.qkv", blk["attn"]["qkv"])
-            lin(bp + "attn.proj", blk["attn"]["proj"])
-            sd[bp + "attn.relative_position_bias_table"] = T(blk["attn"]["rel_bias_table"])
-            ln(bp + "norm2", blk["norm2"])
-            lin(bp + "mlp.fc1", blk["mlp"]["fc1"])
-            lin(bp + "mlp.fc2", blk["mlp"]["fc2"])
-        if "downsample" in layer:
-            dp = f"{prefix}layers.{i}.downsample."
-            ln(dp + "norm", layer["downsample"]["norm"])
-            lin(dp + "reduction", layer["downsample"]["reduction"])
-    ln(prefix + "norm", params["norm"])
-    sd[prefix + "tscam_conv.weight"] = T(params["tscam_conv"]["kernel"]).permute(3, 2, 0, 1).contiguous()
-    sd[prefix + "tscam_conv.bias"] = T(params["tscam_conv"]["bias"])
-    lin(prefix + "head", params["head"])
-    return sd
+    return _to_torch_sd(htsat_params_to_state_dict(params, prefix))
 
 
 def load_jax_params_into_reference(model: nn.Module, params: dict) -> None:
@@ -201,6 +218,45 @@ def load_jax_params_into_reference(model: nn.Module, params: dict) -> None:
     # buffers the torch model generates itself (DSP bases, masks, indices)
     allowed = ("spectrogram_extractor", "logmel_extractor", "window_t", "melW",
                "attn_mask", "relative_position_index")
+    bad = [m for m in missing if not any(a in m for a in allowed)]
+    assert not bad, f"missing keys: {bad}"
+    assert not unexpected, f"unexpected keys: {unexpected}"
+
+
+def build_reference_clap(tmodel: str = "roberta", **kw) -> nn.Module:
+    """Instantiate the full reference CLAP (`model.py:422-549`), HTSAT-tiny
+    audio branch, offline text towers."""
+    pkg = _load_ref_package()
+    audio_cfg = pkg.model.CLAPAudioCfp(
+        model_type="HTSAT", model_name="tiny", sample_rate=48000,
+        window_size=1024, hop_size=480, fmin=50, fmax=14000,
+        class_num=527, mel_bins=64, clip_samples=480000,
+    )
+    text_cfg = pkg.model.CLAPTextCfg(
+        context_length=77, vocab_size=49408, width=512, heads=8, layers=12,
+        model_type=tmodel,
+    )
+    model = pkg.model.CLAP(
+        embed_dim=768, audio_cfg=audio_cfg, text_cfg=text_cfg,
+        quick_gelu=False, enable_fusion=False, fusion_type="None", **kw,
+    )
+    model.eval()
+    return model
+
+
+def clap_params_to_torch_state(params: dict) -> dict:
+    """Our full CLAP pytree -> the reference CLAP state_dict (delegates to
+    the package's reverse converter)."""
+    from audio_residual_tpu.models.convert import clap_params_to_state_dict
+
+    return _to_torch_sd(clap_params_to_state_dict(params))
+
+
+def load_jax_params_into_reference_clap(model: nn.Module, params: dict) -> None:
+    sd = clap_params_to_torch_state(params)
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    allowed = ("spectrogram_extractor", "logmel_extractor", "window_t", "melW",
+               "attn_mask", "relative_position_index", "position_ids")
     bad = [m for m in missing if not any(a in m for a in allowed)]
     assert not bad, f"missing keys: {bad}"
     assert not unexpected, f"unexpected keys: {unexpected}"

@@ -216,3 +216,45 @@ def test_convert_weights_to_bf16():
     assert p["audio_projection"]["fc1"]["kernel"].dtype == jnp.bfloat16
     assert p["audio_projection"]["fc1"]["bias"].dtype == jnp.float32
     assert p["logit_scale_a"].dtype == jnp.float32
+
+
+def test_save_torch_compatible_roundtrip(tmp_path, rng):
+    """End-to-end weight path (VERDICT r1 #5): export a random CLAP as a
+    reference-layout torch checkpoint, reload it through the same path the
+    published `630k*-best.pt` files take (`factory.load_checkpoint_params` /
+    `hook.py:75-119` equivalent), and assert BIT-identical params and
+    embeddings."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_residual_tpu.models.clap import encode_audio, encode_text, init_clap_params
+    from audio_residual_tpu.training.checkpoints import save_torch_compatible
+    from tests.tiny import TINY_CLAP
+
+    params = jax.tree.map(np.asarray, init_clap_params(jax.random.PRNGKey(5), TINY_CLAP))
+    path = str(tmp_path / "export.pt")
+    save_torch_compatible(path, params, epoch=7, name="roundtrip")
+
+    ck = torch.load(path, map_location="cpu", weights_only=False)
+    assert ck["epoch"] == 7 and ck["name"] == "roundtrip"
+    assert all(isinstance(v, torch.Tensor) for v in ck["state_dict"].values())
+
+    re_params = factory.load_checkpoint_params(path, TINY_CLAP)
+    flat_a, tree_a = jax.tree.flatten(params)
+    flat_b, tree_b = jax.tree.flatten(jax.tree.map(np.asarray, re_params))
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
+
+    # and therefore bit-identical embeddings on both towers
+    ids = jnp.asarray(rng.integers(2, 100, (2, 10)))
+    wav = jnp.asarray(rng.standard_normal((2, 24000)).astype(np.float32) * 0.1)
+    t1 = encode_text(params, ids, None, TINY_CLAP)
+    t2 = encode_text(re_params, ids, None, TINY_CLAP)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    fwd = functools.partial(encode_audio, cfg=TINY_CLAP)
+    a1 = fwd(params, wav)["normalized"]
+    a2 = fwd(re_params, wav)["normalized"]
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))

@@ -2,6 +2,7 @@
 zero-shot eval harness on a tiny CLAP (CPU)."""
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -196,3 +197,42 @@ def test_cached_prefix_training_matches_full(setup):
         np.asarray(r1[0]["lam"]), np.asarray(r2[0]["lam"]), atol=1e-4, rtol=1e-3
     )
     np.testing.assert_allclose(h1[0]["train_loss"], h2[0]["train_loss"], rtol=1e-4)
+
+
+def test_visualize_eval_metrics_and_heatmap(tmp_path, rng):
+    """`src/evaluation.py:132-198` equivalent: per-fold npz schema, cross-fold
+    metrics, and the confusion-heatmap figure file (headless render)."""
+    from audio_residual_tpu.evaluate.harness import (
+        plot_lambda_histogram,
+        visualize_eval_metrics,
+    )
+
+    n_classes, n = 7, 40
+    for i in range(3):
+        sims = rng.standard_normal((n, n_classes)).astype(np.float32)
+        targets = rng.integers(0, n_classes, n)
+        np.savez(
+            tmp_path / f"layers_0_evalfold_{i}.npz",
+            similarities=sims,
+            predictions=sims.argmax(-1),
+            targets=targets,
+        )
+    fig = str(tmp_path / "cm.png")
+    out = visualize_eval_metrics(
+        str(tmp_path), "TEST", 3, inject_layers=[0], k_top=5, fig_path=fig
+    )
+    assert os.path.exists(fig) and os.path.getsize(fig) > 0
+    assert out["confusion_matrix"].shape == (n_classes, n_classes)
+    assert out["confusion_matrix"].sum() == 3 * n
+    assert 0.0 <= out["acc_mean"] <= 1.0 and out["topk_mean"] >= out["acc_mean"]
+    # cross-check one fold against sklearn
+    from sklearn.metrics import f1_score
+
+    d = np.load(tmp_path / "layers_0_evalfold_0.npz")
+    skl_f1 = f1_score(d["targets"], d["predictions"], average="macro", zero_division=0)
+    # recompute via the same path
+    one = visualize_eval_metrics(str(tmp_path), "TEST", 1, inject_layers=[0])
+    np.testing.assert_allclose(one["f1_mean"], skl_f1, rtol=1e-9)
+
+    lam_fig = plot_lambda_histogram(rng.standard_normal(96), str(tmp_path / "lam.png"))
+    assert os.path.exists(lam_fig) and os.path.getsize(lam_fig) > 0
