@@ -1,0 +1,164 @@
+"""Fused residual-add + LN + MLP Pallas kernel with hidden-axis weight
+streaming — the FFN half of a Swin block for layers whose MLP weights exceed
+VMEM (HTSAT layer 3: 768x3072 fc1/fc2 = 19 MB, `htsat.py:716-732`).
+
+Row-wise computation (every op is position-independent), so the grid tiles
+``(row_blocks, hidden_chunks)``: fc1/fc2 weight *chunks* stream HBM->VMEM
+(double-buffered by Pallas) while the row block's activations stay resident
+in scratch. Chunked accumulation is exact: gelu is elementwise over hidden
+units and fc2 sums over them, so ``y = h1 + Σ_k gelu(z @ W1[:,k]) @ W2[k,:]``.
+
+Folds in the optional ResiDual epilogue (`src/residual.py:88-98`) and the
+reference's double-FFN compat quirk (a second phase over the same weight
+chunks — the grid's hidden axis runs ``2H`` steps and re-seeds the
+accumulator at ``k == H``).
+
+Eval-mode semantics (dropout/drop_path identity), like the other fused
+kernels; training uses the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_residual_ffn", "ffn_plan"]
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _vmem_need(r: int, c: int, hc: int, k_res: int) -> int:
+    f32 = 4
+    return (
+        3 * r * c * f32  # x + a/o + z scratch
+        + 2 * (2 * c * hc) * f32  # fc1+fc2 chunks, double-buffered
+        + r * hc * f32  # hidden activation chunk
+        + (k_res * c + c + k_res) * f32  # ResiDual basis/mean/lam
+        + 4 * c * f32  # norm scale/bias + fc biases
+    )
+
+
+def ffn_plan(rows: int, c: int, hidden: int, k_res: int = 0) -> tuple[int, int] | None:
+    """Pick (row_block, hidden_chunk): largest row block (divisor of rows,
+    capped at 1024) with the largest hidden chunk (divisor of hidden,
+    multiple of 128) that fits the VMEM budget."""
+    row_opts = [r for r in (1024, 512, 256, 128, 64) if rows % r == 0] or (
+        [rows] if rows <= 1024 else []
+    )
+    # Mosaic requires the streamed blocks' last dim to be a multiple of 128
+    hc_opts = [d for d in range(hidden, 127, -128) if hidden % d == 0 and d % 128 == 0]
+    if hidden % 128 != 0:  # tiny test configs: single full-width chunk only
+        hc_opts = [hidden]
+    for r in row_opts:
+        for hc in hc_opts:
+            if _vmem_need(r, c, hc, k_res) < _VMEM_BUDGET:
+                return r, hc
+    return None
+
+
+def _erf_f32(x):
+    """erf via Abramowitz-Stegun 7.1.26 (Mosaic lowers exp, not erf)."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return x * 0.5 * (1.0 + _erf_f32(x * 0.7071067811865476))
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _kernel(x_ref, a_ref, n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+            bfc2_ref, rbasis_ref, rmean_ref, rlam_ref, o_ref, z_ref,
+            *, n_chunks, use_residual, double_ffn):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        a = a_ref[:]
+        if use_residual:
+            proj = jnp.dot(a - rmean_ref[:], rbasis_ref[:].T,
+                           preferred_element_type=jnp.float32)
+            a = jnp.dot(proj * rlam_ref[:], rbasis_ref[:],
+                        preferred_element_type=jnp.float32)
+        h1 = x_ref[:] + a
+        z_ref[:] = _ln(h1, n2s_ref[:], n2b_ref[:])
+        o_ref[:] = h1 + bfc2_ref[:]  # fc2 bias folded in once per phase
+
+    if double_ffn:
+        @pl.when(k == n_chunks)
+        def _second_phase():
+            # first FFN complete in o_ref; re-seed for the quirk's second pass
+            y2 = x_ref[:] + o_ref[:]
+            z_ref[:] = _ln(y2, n2s_ref[:], n2b_ref[:])
+            o_ref[:] = y2 + bfc2_ref[:]
+
+    h = jnp.dot(z_ref[:], wfc1_ref[:], preferred_element_type=jnp.float32)
+    h = _gelu_exact(h + bfc1_ref[0])  # bfc1 block is [1, hc]
+    o_ref[:] += jnp.dot(h, wfc2_ref[:], preferred_element_type=jnp.float32)
+
+
+def fused_residual_ffn(
+    x: jnp.ndarray,
+    a: jnp.ndarray,
+    n2s, n2b, wfc1, bfc1, wfc2, bfc2,
+    rparams: dict | None = None,
+    *,
+    double_ffn: bool = False,
+) -> jnp.ndarray:
+    """``x, a [R, C]`` (block input and post-proj attention output, flattened
+    rows) -> post-block rows ``y [R, C]``."""
+    rows, c = x.shape
+    hidden = wfc1.shape[1]
+    k_res = rparams["basis"].shape[0] if rparams is not None else 1
+    plan = ffn_plan(rows, c, hidden, k_res if rparams is not None else 0)
+    if plan is None:
+        raise ValueError(f"fused_residual_ffn: no VMEM plan for rows={rows} c={c} hidden={hidden}")
+    r, hc = plan
+    n_chunks = hidden // hc
+    n_k = 2 * n_chunks if double_ffn else n_chunks
+
+    if rparams is not None:
+        rbasis, rmean, rlam = rparams["basis"], rparams["mean"], rparams["lam"]
+    else:
+        rbasis = jnp.zeros((1, c), jnp.float32)
+        rmean = jnp.zeros((c,), jnp.float32)
+        rlam = jnp.zeros((1,), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, n_chunks=n_chunks,
+        use_residual=rparams is not None, double_ffn=double_ffn,
+    )
+    const = lambda *shape: pl.BlockSpec(shape, (lambda i, k: (0,) * len(shape)), memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // r, n_k),
+        in_specs=[
+            pl.BlockSpec((r, c), lambda i, k: (i, 0), memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((r, c), lambda i, k: (i, 0), memory_space=pltpu.VMEM),  # a
+            const(c), const(c),  # norm2
+            pl.BlockSpec((c, hc), lambda i, k: (0, k % n_chunks), memory_space=pltpu.VMEM),
+            # bias reshaped [1, hidden]: 1-D buffers only support constant
+            # index maps on TPU
+            pl.BlockSpec((1, hc), lambda i, k: (0, k % n_chunks), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc, c), lambda i, k: (k % n_chunks, 0), memory_space=pltpu.VMEM),
+            const(c),  # fc2 bias
+            const(rbasis.shape[0], c), const(c), const(rbasis.shape[0]),
+        ],
+        out_specs=pl.BlockSpec((r, c), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((r, c), jnp.float32)],
+    )(x.astype(jnp.float32), a.astype(jnp.float32), n2s, n2b,
+      wfc1, bfc1.reshape(1, hidden), wfc2, bfc2, rbasis, rmean, rlam)

@@ -14,9 +14,11 @@ Optional extras folded in:
     path; training forwards use the XLA path).
 
 Per-program VMEM: x/out + qkv + scores/probs + MLP hidden + weights; the
-window group G is auto-chosen. HTSAT-tiny layers 0-2 fit; layer 3's MLP
-weights (768x3072x2) push past the budget, so it falls back to the
-attention-only kernel automatically.
+window group G is auto-chosen. HTSAT-tiny layers 0-2 fit the monolithic
+kernel; layer 3's MLP weights (768x3072x2 = 19 MB) exceed VMEM, so it
+dispatches to the split plan instead: the fused W-MSA kernel + the
+hidden-chunked fused FFN kernel (ops/pallas/ln_mlp.py) — every layer runs
+fully fused.
 
 custom-vjp with an XLA twin for the backward (λ-training differentiates
 through downstream blocks).
@@ -59,8 +61,21 @@ def block_pick_group(nw: int, n: int, c: int, nh: int, hidden: int) -> int | Non
     return None
 
 
+def _split_plan_supports(nw: int, n: int, c: int, nh: int, hidden: int) -> bool:
+    """Two-kernel fallback for weight-bound layers (HTSAT layer 3, 768-wide
+    MLP): fused W-MSA kernel + hidden-chunked fused FFN kernel. Activations
+    at those depths are tiny (one 64-token window/image), so the HBM hop
+    between the kernels is negligible; the MLP weights stream chunk-wise."""
+    from audio_residual_tpu.ops.pallas import ln_mlp
+    from audio_residual_tpu.ops.pallas import window_attention as fwa
+
+    return fwa.supports(nw, n, c, nh) and ln_mlp.ffn_plan(n, c, hidden, c) is not None
+
+
 def block_supports(nw: int, n: int, c: int, nh: int, hidden: int) -> bool:
-    return block_pick_group(nw, n, c, nh, hidden) is not None
+    if block_pick_group(nw, n, c, nh, hidden) is not None:
+        return True
+    return _split_plan_supports(nw, n, c, nh, hidden)
 
 
 def _erf_f32(x):
@@ -202,7 +217,10 @@ def fused_swin_block(
     hidden = wfc1.shape[1]
     g = block_pick_group(nw, n, c, nh, hidden)
     if g is None:
-        raise ValueError("block does not fit VMEM")
+        if not _split_plan_supports(nw, n, c, nh, hidden):
+            raise ValueError("block does not fit VMEM")
+        return _split_block(x, flat_params, nh, window, nw, shift, resolution,
+                            use_residual, double_ffn)
     b = bnw // nw
     scale = (c // nh) ** -0.5
     bias = win_ops.gather_relative_bias(table, window, window)
@@ -244,6 +262,32 @@ def fused_swin_block(
         out_shape=jax.ShapeDtypeStruct((bnw, n, c), jnp.float32),
     )(x.astype(jnp.float32), n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b,
       wfc1, bfc1, wfc2, bfc2, bias, mask, rbasis, rmean, rlam)
+
+
+def _split_block(x, flat_params, nh, window, nw, shift, resolution,
+                 use_residual, double_ffn):
+    """Weight-bound plan: LN1 in XLA (fuses into the qkv GEMM's producer),
+    fused W-MSA kernel, then the hidden-chunked fused FFN kernel on
+    flattened rows. Exact same semantics as the monolithic kernel."""
+    from audio_residual_tpu.ops.pallas import ln_mlp
+    from audio_residual_tpu.ops.pallas import window_attention as fwa
+
+    (n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1, bfc1, wfc2, bfc2,
+     table, *res) = flat_params
+    bnw, n, c = x.shape
+    x = x.astype(jnp.float32)
+    y = _ln(x, n1s, n1b)
+    a = fwa.fused_window_attention(
+        y, wqkv, bqkv, wproj, bproj, table, nh, window, nw, shift, resolution
+    )
+    rparams = None
+    if use_residual:
+        rparams = {"basis": res[0], "mean": res[1], "lam": res[2]}
+    out = ln_mlp.fused_residual_ffn(
+        x.reshape(bnw * n, c), a.reshape(bnw * n, c),
+        n2s, n2b, wfc1, bfc1, wfc2, bfc2, rparams, double_ffn=double_ffn,
+    )
+    return out.reshape(bnw, n, c)
 
 
 def _params_to_blk(flat_params):

@@ -143,6 +143,24 @@ def parse_args(args=None) -> argparse.Namespace:
 
     ns = p.parse_args(args)
 
+    # torch-only flags are accepted for script compatibility but must not
+    # pass silently — say exactly what each maps to here
+    import logging
+
+    if ns.horovod:
+        logging.warning(
+            "--horovod has no effect: this framework runs one process per "
+            "host with XLA collectives over the device mesh (the reference's "
+            "Horovod path, distributed.py:70-88, is subsumed by pjit DP)"
+        )
+    if ns.dist_backend != "nccl":
+        logging.warning(
+            "--dist-backend=%s ignored: collectives are XLA over ICI/DCN, "
+            "not a torch.distributed backend", ns.dist_backend,
+        )
+    if ns.ddp_static_graph:
+        logging.warning("--ddp-static-graph has no effect: every jit graph is static")
+
     # model-dependent defaults backfill (`params.py:561-566`)
     defaults = get_default_params(ns.amodel)
     for k, v in defaults.items():

@@ -151,11 +151,86 @@ def test_fused_block_grad(rng):
 def test_block_vmem_budget():
     from audio_residual_tpu.ops.pallas import swin_block as fsb
 
-    # HTSAT-tiny layers 0-2 fit; layer 3 (768-wide MLP) must NOT
+    # HTSAT-tiny layers 0-2 fit the monolithic kernel
     assert fsb.block_supports(64, 64, 96, 4, 384)
     assert fsb.block_supports(16, 64, 192, 8, 768)
     assert fsb.block_supports(4, 64, 384, 16, 1536)
-    assert not fsb.block_supports(1, 64, 768, 32, 3072)
+    # layer 3 (768-wide MLP, 19 MB of weights) exceeds the monolithic VMEM
+    # budget but is served by the split plan (W-MSA kernel + chunked FFN)
+    assert fsb.block_pick_group(1, 64, 768, 32, 3072) is None
+    assert fsb.block_supports(1, 64, 768, 32, 3072)
+
+
+@pytest.mark.parametrize("use_res,dffn", [(False, False), (True, False), (True, True)])
+def test_fused_residual_ffn_matches_xla(rng, use_res, dffn):
+    """Hidden-chunked FFN kernel == the XLA formula, with the chunk loop
+    forced (small VMEM budget) so the accumulation + double-FFN phase logic
+    is exercised."""
+    from audio_residual_tpu.ops.pallas import ln_mlp
+
+    rows, c, hidden = 128, 96, 384
+    x = jnp.asarray(rng.standard_normal((rows, c)).astype(np.float32) * 0.5)
+    a = jnp.asarray(rng.standard_normal((rows, c)).astype(np.float32) * 0.1)
+    n2s = jnp.ones(c) * 0.9
+    n2b = jnp.zeros(c)
+    wfc1 = jnp.asarray(rng.standard_normal((c, hidden)).astype(np.float32) * 0.05)
+    bfc1 = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.02)
+    wfc2 = jnp.asarray(rng.standard_normal((hidden, c)).astype(np.float32) * 0.05)
+    bfc2 = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.02)
+    q, _ = np.linalg.qr(rng.standard_normal((c, c)))
+    rparams = (
+        {"basis": jnp.asarray(q.astype(np.float32)),
+         "mean": jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.01),
+         "lam": jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))}
+        if use_res else None
+    )
+
+    def xla_ffn(t):
+        z = (t - jnp.mean(t, -1, keepdims=True)) * jax.lax.rsqrt(
+            jnp.var(t, -1, keepdims=True) + 1e-5) * n2s + n2b
+        return jax.nn.gelu(z @ wfc1 + bfc1, approximate=False) @ wfc2 + bfc2
+
+    a_ref = a
+    if use_res:
+        a_ref = ((a - rparams["mean"]) @ rparams["basis"].T * rparams["lam"]) @ rparams["basis"]
+    h1 = x + a_ref
+    ref = h1 + xla_ffn(h1)
+    if dffn:
+        y2 = x + ref
+        ref = y2 + xla_ffn(y2)
+
+    small_budget = ln_mlp._vmem_need(64, c, hidden // 2, c if use_res else 0) + 1
+    with mock.patch.object(ln_mlp, "_VMEM_BUDGET", small_budget), \
+         mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        plan = ln_mlp.ffn_plan(rows, c, hidden, c if use_res else 0)
+        assert plan is not None and plan[1] < hidden, plan  # chunking forced
+        got = ln_mlp.fused_residual_ffn(
+            x, a, n2s, n2b, wfc1, bfc1, wfc2, bfc2, rparams, double_ffn=dffn
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("dffn", [False, True])
+def test_split_block_matches_twin(rng, dffn):
+    """The split plan (attention kernel + chunked FFN kernel) == the XLA twin
+    when the monolithic kernel is forced out of budget."""
+    from audio_residual_tpu.ops.pallas import swin_block as fsb
+
+    c, nh, g, b = 96, 4, 4, 2
+    blk, flat = _block_params(rng, c, nh)
+    q, _ = np.linalg.qr(rng.standard_normal((c, c)))
+    rparams = {"basis": jnp.asarray(q.astype(np.float32)),
+               "mean": jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.01),
+               "lam": jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))}
+    x = jnp.asarray(rng.standard_normal((b * g, 64, c)).astype(np.float32) * 0.5)
+    fp = flat + (rparams["basis"], rparams["mean"], rparams["lam"])
+    ref = fsb._xla_twin(x, blk, rparams, nh=nh, window=8, nw=g,
+                        shift=4, resolution=(16, 16), double_ffn=dffn)
+    with mock.patch.object(fsb, "_VMEM_BUDGET", 1), \
+         mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        assert fsb.block_pick_group(g, 64, c, nh, 384) is None
+        got = fsb.fused_swin_block(x, fp, nh, 8, g, 4, (16, 16), True, dffn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
 
 
 def test_fused_frontend_matches_rfft(rng):
