@@ -402,7 +402,7 @@ def swin_block(
                 )
             out_wins = fsb.fused_swin_block(
                 wins, flat, nh, window, nw_img, shift, (h, w),
-                residual_params is not None, double_ffn_compat,
+                residual_params is not None, double_ffn_compat, compute_dtype,
             ).astype(x.dtype)
             y = windows.window_reverse(out_wins, window, h, w)
             if shift > 0:
@@ -426,7 +426,7 @@ def swin_block(
                 p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
                 p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
                 p["attn"]["rel_bias_table"],
-                nh, window, nw_img, shift, (h, w),
+                nh, window, nw_img, shift, (h, w), compute_dtype,
             ).astype(wins.dtype)
         else:
             use_pallas = False

@@ -82,7 +82,7 @@ def _ln(x, scale, bias, eps=1e-5):
 
 def _kernel(x_ref, a_ref, n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
             bfc2_ref, rbasis_ref, rmean_ref, rlam_ref, o_ref, z_ref,
-            *, n_chunks, use_residual, double_ffn):
+            *, n_chunks, use_residual, double_ffn, mxu_dtype=None):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -105,9 +105,14 @@ def _kernel(x_ref, a_ref, n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
             z_ref[:] = _ln(y2, n2s_ref[:], n2b_ref[:])
             o_ref[:] = y2 + bfc2_ref[:]
 
-    h = jnp.dot(z_ref[:], wfc1_ref[:], preferred_element_type=jnp.float32)
+    def dot(a, b):  # MXU matmul, optional bf16 inputs, f32 accumulate
+        if mxu_dtype is not None:
+            a, b = a.astype(mxu_dtype), b.astype(mxu_dtype)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    h = dot(z_ref[:], wfc1_ref[:])
     h = _gelu_exact(h + bfc1_ref[0])  # bfc1 block is [1, hc]
-    o_ref[:] += jnp.dot(h, wfc2_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] += dot(h, wfc2_ref[:])
 
 
 def fused_residual_ffn(
@@ -117,6 +122,7 @@ def fused_residual_ffn(
     rparams: dict | None = None,
     *,
     double_ffn: bool = False,
+    mxu_dtype=None,
 ) -> jnp.ndarray:
     """``x, a [R, C]`` (block input and post-proj attention output, flattened
     rows) -> post-block rows ``y [R, C]``."""
@@ -140,6 +146,7 @@ def fused_residual_ffn(
     kernel = functools.partial(
         _kernel, n_chunks=n_chunks,
         use_residual=rparams is not None, double_ffn=double_ffn,
+        mxu_dtype=mxu_dtype,
     )
     const = lambda *shape: pl.BlockSpec(shape, (lambda i, k: (0,) * len(shape)), memory_space=pltpu.VMEM)  # noqa: E731
     return pl.pallas_call(

@@ -105,36 +105,44 @@ def _ln(x, scale, bias, eps=1e-5):
 def _kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
             bias_ref, mask_ref, rbasis_ref, rmean_ref, rlam_ref, o_ref,
-            *, g, n, c, nh, scale, use_residual, double_ffn):
+            *, g, n, c, nh, scale, use_residual, double_ffn, mxu_dtype=None):
     hd = c // nh
+
+    def dot(a, b):  # MXU matmul, optional bf16 inputs, always f32 accumulate
+        if mxu_dtype is not None:
+            a, b = a.astype(mxu_dtype), b.astype(mxu_dtype)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def bdot(a, b, dims):
+        if mxu_dtype is not None:
+            a, b = a.astype(mxu_dtype), b.astype(mxu_dtype)
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+
     x = x_ref[:].reshape(g * n, c)
     y = _ln(x, n1s_ref[:], n1b_ref[:])
-    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    qkv = dot(y, wqkv_ref[:]) + bqkv_ref[:]
     mask = mask_ref[:]
     outs = []
     for h in range(nh):
         qh = qkv[:, h * hd : (h + 1) * hd].reshape(g, n, hd) * scale
         kh = qkv[:, c + h * hd : c + (h + 1) * hd].reshape(g, n, hd)
         vh = qkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd].reshape(g, n, hd)
-        s = jax.lax.dot_general(
-            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        s = bdot(qh, kh, (((2,), (2,)), ((0,), (0,))))
         s = s + bias_ref[h] + mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        oh = jax.lax.dot_general(
-            probs, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        oh = bdot(probs, vh, (((2,), (1,)), ((0,), (0,))))
         outs.append(oh.reshape(g * n, hd))
     a = jnp.concatenate(outs, axis=-1)
-    a = jnp.dot(a, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[:]
+    a = dot(a, wproj_ref[:]) + bproj_ref[:]
 
     if use_residual:
         # ResiDual epilogue (`src/residual.py:88-98`): center/project/scale/
-        # reproject the post-attention residual before the FFN add
+        # reproject the post-attention residual before the FFN add.
+        # Kept f32 even under bf16 MXU: the spectral basis projection is the
+        # method's precision-sensitive core (λ perturbs per-component scale).
         proj = jnp.dot(a - rmean_ref[:], rbasis_ref[:].T, preferred_element_type=jnp.float32)
         a = jnp.dot(proj * rlam_ref[:], rbasis_ref[:], preferred_element_type=jnp.float32)
 
@@ -142,9 +150,9 @@ def _kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 
     def ffn(t):
         z = _ln(t, n2s_ref[:], n2b_ref[:])
-        z = jnp.dot(z, wfc1_ref[:], preferred_element_type=jnp.float32) + bfc1_ref[:]
+        z = dot(z, wfc1_ref[:]) + bfc1_ref[:]
         z = _gelu_exact(z)
-        return jnp.dot(z, wfc2_ref[:], preferred_element_type=jnp.float32) + bfc2_ref[:]
+        return dot(z, wfc2_ref[:]) + bfc2_ref[:]
 
     y = h1 + ffn(h1)
     if use_residual and double_ffn:
@@ -193,7 +201,7 @@ def _xla_twin(x, blk, rparams, *, nh, window, nw, shift, resolution, double_ffn)
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def fused_swin_block(
     x: jnp.ndarray,
     flat_params: tuple,
@@ -204,11 +212,16 @@ def fused_swin_block(
     resolution: tuple[int, int],
     use_residual: bool,
     double_ffn: bool,
+    mxu_dtype=None,
 ) -> jnp.ndarray:
     """``x [B*nW, N, C]`` pre-norm windows -> post-block windows.
 
     ``flat_params`` = (n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1,
     bfc1, wfc2, bfc2, rel_bias_table[, rbasis, rmean, rlam]).
+
+    ``mxu_dtype=jnp.bfloat16`` runs the matmuls' inputs in bf16 on the MXU
+    (f32 accumulate, LN/softmax/ResiDual epilogue stay f32) — the TPU analog
+    of the reference's AMP inference path.
     """
     (n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1, bfc1, wfc2, bfc2,
      table, *res) = flat_params
@@ -220,7 +233,7 @@ def fused_swin_block(
         if not _split_plan_supports(nw, n, c, nh, hidden):
             raise ValueError("block does not fit VMEM")
         return _split_block(x, flat_params, nh, window, nw, shift, resolution,
-                            use_residual, double_ffn)
+                            use_residual, double_ffn, mxu_dtype)
     b = bnw // nw
     scale = (c // nh) ** -0.5
     bias = win_ops.gather_relative_bias(table, window, window)
@@ -237,7 +250,7 @@ def fused_swin_block(
 
     kernel = functools.partial(
         _kernel, g=g, n=n, c=c, nh=nh, scale=scale,
-        use_residual=use_residual, double_ffn=double_ffn,
+        use_residual=use_residual, double_ffn=double_ffn, mxu_dtype=mxu_dtype,
     )
     k_r = rbasis.shape[0]
     full = lambda *shape: pl.BlockSpec(shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM)  # noqa: E731
@@ -265,7 +278,7 @@ def fused_swin_block(
 
 
 def _split_block(x, flat_params, nh, window, nw, shift, resolution,
-                 use_residual, double_ffn):
+                 use_residual, double_ffn, mxu_dtype=None):
     """Weight-bound plan: LN1 in XLA (fuses into the qkv GEMM's producer),
     fused W-MSA kernel, then the hidden-chunked fused FFN kernel on
     flattened rows. Exact same semantics as the monolithic kernel."""
@@ -278,7 +291,8 @@ def _split_block(x, flat_params, nh, window, nw, shift, resolution,
     x = x.astype(jnp.float32)
     y = _ln(x, n1s, n1b)
     a = fwa.fused_window_attention(
-        y, wqkv, bqkv, wproj, bproj, table, nh, window, nw, shift, resolution
+        y, wqkv, bqkv, wproj, bproj, table, nh, window, nw, shift, resolution,
+        mxu_dtype=mxu_dtype,
     )
     rparams = None
     if use_residual:
@@ -286,6 +300,7 @@ def _split_block(x, flat_params, nh, window, nw, shift, resolution,
     out = ln_mlp.fused_residual_ffn(
         x.reshape(bnw * n, c), a.reshape(bnw * n, c),
         n2s, n2b, wfc1, bfc1, wfc2, bfc2, rparams, double_ffn=double_ffn,
+        mxu_dtype=mxu_dtype,
     )
     return out.reshape(bnw, n, c)
 
@@ -308,13 +323,15 @@ def _params_to_blk(flat_params):
     return blk, rparams
 
 
-def _fsb_fwd(x, flat_params, nh, window, nw, shift, resolution, use_residual, double_ffn):
+def _fsb_fwd(x, flat_params, nh, window, nw, shift, resolution, use_residual,
+             double_ffn, mxu_dtype=None):
     out = fused_swin_block(x, flat_params, nh, window, nw, shift, resolution,
-                           use_residual, double_ffn)
+                           use_residual, double_ffn, mxu_dtype)
     return out, (x, flat_params)
 
 
-def _fsb_bwd(nh, window, nw, shift, resolution, use_residual, double_ffn, residuals, g):
+def _fsb_bwd(nh, window, nw, shift, resolution, use_residual, double_ffn,
+             mxu_dtype, residuals, g):
     x, flat_params = residuals
     blk_of = lambda fp: _params_to_blk(fp)  # noqa: E731
 

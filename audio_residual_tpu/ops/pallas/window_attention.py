@@ -62,35 +62,41 @@ def supports(num_windows_per_image: int, n: int, c: int, nh: int) -> bool:
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref, o_ref,
-            *, g, n, c, nh, scale):
+            *, g, n, c, nh, scale, mxu_dtype=None):
     """Mosaic-friendly decomposition: one big qkv GEMM, then a static
     per-head loop of window-batched [n, hd] x [hd, n] matmuls. Only
     leading-dim splits and last-dim slices — no >4D vector reshapes (Mosaic
     can't lower those)."""
     hd = c // nh
+
+    def dot(a, b):  # MXU matmul, optional bf16 inputs, f32 accumulate
+        if mxu_dtype is not None:
+            a, b = a.astype(mxu_dtype), b.astype(mxu_dtype)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def bdot(a, b, dims):
+        if mxu_dtype is not None:
+            a, b = a.astype(mxu_dtype), b.astype(mxu_dtype)
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+
     xw = x_ref[:].reshape(g * n, c)
-    qkv = jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    qkv = dot(xw, wqkv_ref[:]) + bqkv_ref[:]
     mask = mask_ref[:]  # [g, n, n]
     outs = []
     for h in range(nh):
         qh = qkv[:, h * hd : (h + 1) * hd].reshape(g, n, hd) * scale
         kh = qkv[:, c + h * hd : c + (h + 1) * hd].reshape(g, n, hd)
         vh = qkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd].reshape(g, n, hd)
-        s = jax.lax.dot_general(
-            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [g, n, n]
+        s = bdot(qh, kh, (((2,), (2,)), ((0,), (0,))))  # [g, n, n]
         s = s + bias_ref[h] + mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        oh = jax.lax.dot_general(
-            probs, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [g, n, hd]
+        oh = bdot(probs, vh, (((2,), (1,)), ((0,), (0,))))  # [g, n, hd]
         outs.append(oh.reshape(g * n, hd))
     o = jnp.concatenate(outs, axis=-1)  # [g*n, c]
-    out = jnp.dot(o, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[:]
+    out = dot(o, wproj_ref[:]) + bproj_ref[:]
     o_ref[:] = out.reshape(g, n, c)
 
 
@@ -118,7 +124,7 @@ def _xla_reference(x, wqkv, bqkv, wproj, bproj, rel_bias_table, *, nh, window,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
 )
 def fused_window_attention(
     x: jnp.ndarray,
@@ -132,6 +138,7 @@ def fused_window_attention(
     num_windows_per_image: int,
     shift: int,
     resolution: tuple[int, int],
+    mxu_dtype=None,
 ) -> jnp.ndarray:
     """``x [B*nW, N, C] -> attention output [B*nW, N, C]``.
 
@@ -155,7 +162,8 @@ def fused_window_attention(
         mask = jnp.zeros((nw, n, n), jnp.float32)
 
     groups = nw // g
-    kernel = functools.partial(_kernel, g=g, n=n, c=c, nh=nh, scale=scale)
+    kernel = functools.partial(_kernel, g=g, n=n, c=c, nh=nh, scale=scale,
+                               mxu_dtype=mxu_dtype)
     return pl.pallas_call(
         kernel,
         grid=(b, groups),
@@ -176,15 +184,16 @@ def fused_window_attention(
 
 
 def _fwa_fwd(x, wqkv, bqkv, wproj, bproj, rel_bias_table,
-             nh, window, num_windows_per_image, shift, resolution):
+             nh, window, num_windows_per_image, shift, resolution, mxu_dtype=None):
     out = fused_window_attention(
         x, wqkv, bqkv, wproj, bproj, rel_bias_table,
-        nh, window, num_windows_per_image, shift, resolution,
+        nh, window, num_windows_per_image, shift, resolution, mxu_dtype,
     )
     return out, (x, wqkv, bqkv, wproj, bproj, rel_bias_table)
 
 
-def _fwa_bwd(nh, window, num_windows_per_image, shift, resolution, residuals, g):
+def _fwa_bwd(nh, window, num_windows_per_image, shift, resolution, mxu_dtype,
+             residuals, g):
     x, wqkv, bqkv, wproj, bproj, rel_bias_table = residuals
     _, vjp = jax.vjp(
         functools.partial(

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["trace", "annotate", "measure_throughput"]
+__all__ = ["trace", "annotate", "measure_throughput", "htsat_flops_per_clip"]
 
 
 @contextlib.contextmanager
@@ -60,3 +60,51 @@ def measure_throughput(forward, example, *, iters: int = 10, batch_axis: int = 0
         "seconds_per_iter": dt,
         "items_per_sec": example.shape[batch_axis] / dt,
     }
+
+
+def htsat_flops_per_clip(cfg, clip_samples: int | None = None) -> float:
+    """Analytical forward FLOPs for one clip through the zero-shot path
+    (frontend + HTSAT + audio projection), counting multiply-adds as 2 FLOPs.
+
+    Needed because XLA's ``compiled.cost_analysis()`` excludes custom-call
+    (Pallas) FLOPs, which silently deflates MFU once the fused kernels carry
+    most of the math. Elementwise ops (norms, gelu, softmax, bicubic
+    interpolation) are omitted — they are <2% of the matmul/conv total — so
+    treat this as a slight lower bound.
+    """
+    t = clip_samples if clip_samples is not None else cfg.clip_samples
+    n_fft, hop = cfg.n_fft, cfg.hop_size
+    frames = (t + 2 * (n_fft // 2) - n_fft) // hop + 1
+    bins = n_fft // 2 + 1
+    f = 0.0
+    # STFT as two dense [n_fft -> bins] matmuls (ops/frontend.py)
+    f += frames * 2 * 2 * n_fft * bins
+    # mel projection
+    f += frames * 2 * bins * cfg.mel_bins
+    # patch embed conv: (spec/4)^2 patches x (4x4xC_in -> embed)
+    grid = cfg.spec_size // cfg.patch_stride[0]
+    in_ch = 4 if getattr(cfg, "enable_fusion", False) and "2d" in str(
+        getattr(cfg, "fusion_type", "")
+    ) else 1
+    f += 2 * grid * grid * cfg.embed_dim * cfg.patch_size * cfg.patch_size * in_ch
+    # Swin layers
+    window_tokens = cfg.window_size * cfg.window_size
+    for i, depth in enumerate(cfg.depths):
+        c = cfg.embed_dim * 2**i
+        n = (grid // 2**i) ** 2
+        per_block = (
+            2 * n * c * 3 * c  # qkv
+            + 2 * 2 * n * window_tokens * c  # scores + attn@v
+            + 2 * n * c * c  # proj
+            + 2 * 2 * n * c * int(cfg.mlp_ratio * c)  # fc1 + fc2
+        )
+        f += depth * per_block
+        if i < len(cfg.depths) - 1:  # patch merging
+            f += 2 * (n // 4) * (4 * c) * (2 * c)
+    # tscam head: [C_out=classes] conv over the final (freq-grouped) grid
+    c_final = cfg.embed_dim * 2 ** (len(cfg.depths) - 1)
+    n_final = (grid // 2 ** (len(cfg.depths) - 1)) ** 2
+    f += 2 * n_final * c_final * cfg.num_classes * 3  # kernel (SF, 3) approx
+    # audio projection MLP 768 -> 512 -> 512
+    f += 2 * (c_final * 512 + 512 * 512)
+    return float(f)

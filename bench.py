@@ -113,13 +113,11 @@ def bench_jax_tpu() -> tuple[float, float | None]:
 
     wav = jnp.asarray(make_inputs(BATCH))
     compiled = jax.jit(multi).lower(params, wav).compile()
-    flops = None
-    try:
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca["flops"])  # whole program = n_iters x one batch
-    except Exception:
-        pass
+    # analytical FLOPs: XLA's cost_analysis excludes custom-call (Pallas)
+    # kernels, which deflates MFU once the fused kernels carry the math
+    from audio_residual_tpu.utils.profiling import htsat_flops_per_clip
+
+    flops = htsat_flops_per_clip(cfg.audio) * BATCH * n_iters
 
     float(np.asarray(compiled(params, wav)))  # warm + sync
     times = []

@@ -148,6 +148,51 @@ def main() -> int:
 
     stage("lambda_grad_probe", s4)
 
+    def s5():
+        # compiled-kernel parity: fused Swin block (monolithic layer-0 shape
+        # AND the layer-3 split plan) vs the XLA twin, on real Mosaic — the
+        # CPU suite only covers interpret mode
+        from audio_residual_tpu.ops.pallas import swin_block as fsb
+
+        out = {}
+        for tag, (c, nh, hidden, nw_, res_) in {
+            "layer0": (96, 4, 384, 64, (64, 64)),
+            "layer3_split": (768, 32, 3072, 1, (8, 8)),
+        }.items():
+            r = np.random.default_rng(1)
+            d = lambda shape, s=0.05: jnp.asarray(  # noqa: E731
+                (r.standard_normal(shape) * s).astype(np.float32))
+            blk = {
+                "norm1": {"scale": jnp.ones(c), "bias": jnp.zeros(c)},
+                "attn": {"qkv": {"kernel": d((c, 3 * c)), "bias": d((3 * c,), 0.02)},
+                         "proj": {"kernel": d((c, c)), "bias": d((c,), 0.02)},
+                         "rel_bias_table": d((225, nh), 0.02)},
+                "norm2": {"scale": jnp.ones(c), "bias": jnp.zeros(c)},
+                "mlp": {"fc1": {"kernel": d((c, hidden)), "bias": jnp.zeros(hidden)},
+                        "fc2": {"kernel": d((hidden, c)), "bias": jnp.zeros(c)}},
+            }
+            flat = (blk["norm1"]["scale"], blk["norm1"]["bias"],
+                    blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"],
+                    blk["attn"]["proj"]["kernel"], blk["attn"]["proj"]["bias"],
+                    blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    blk["mlp"]["fc1"]["kernel"], blk["mlp"]["fc1"]["bias"],
+                    blk["mlp"]["fc2"]["kernel"], blk["mlp"]["fc2"]["bias"],
+                    blk["attn"]["rel_bias_table"])
+            xb = d((8 * nw_, 64, c), 0.5)
+            got = jax.jit(lambda x_: fsb.fused_swin_block(
+                x_, flat, nh, 8, nw_, 0, res_, False, False))(xb)
+            with jax.default_matmul_precision("highest"):
+                hi = jax.jit(lambda x_: fsb._xla_twin(
+                    x_, blk, None, nh=nh, window=8, nw=nw_, shift=0,
+                    resolution=res_, double_ffn=False))(xb)
+            rel = float(np.abs(np.asarray(got) - np.asarray(hi)).max()
+                        / np.abs(np.asarray(hi)).max())
+            assert rel < 0.02, (tag, rel)
+            out[f"{tag}_rel_err"] = rel
+        return out
+
+    stage("compiled_kernel_parity", s5)
+
     print("TPU_DRIVE " + json.dumps(results), flush=True)
     return 0 if results["ok"] else 1
 

@@ -206,3 +206,17 @@ def test_get_data_from_log(tmp_path):
     out = misc.get_data_from_log(str(p))
     assert out["loss"] == {0: 1.25, 1: 0.75}
     assert out["mAP@10"][1] == 0.9
+
+
+def test_htsat_flops_per_clip():
+    """Analytical FLOPs counter (bench MFU numerator): sane magnitude for
+    HTSAT-tiny and monotone in clip length / model width."""
+    from audio_residual_tpu.models.htsat import HTSATConfig
+    from audio_residual_tpu.utils.profiling import htsat_flops_per_clip
+
+    tiny = HTSATConfig()
+    f = htsat_flops_per_clip(tiny)
+    assert 5e9 < f < 5e10, f  # ~14 GFLOPs for 10 s @ 48 kHz
+    assert htsat_flops_per_clip(tiny, clip_samples=240000) < f
+    base = HTSATConfig(embed_dim=128, depths=(2, 2, 12, 2))
+    assert htsat_flops_per_clip(base) > f

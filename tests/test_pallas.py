@@ -233,6 +233,42 @@ def test_split_block_matches_twin(rng, dffn):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
 
 
+def test_fused_block_bf16_mxu(rng):
+    """``mxu_dtype=bfloat16`` (the TPU analog of the reference's AMP
+    inference) keeps the block's output within bf16-mantissa error of the
+    f32 path — monolithic kernel and forced split plan both."""
+    from audio_residual_tpu.ops.pallas import ln_mlp
+    from audio_residual_tpu.ops.pallas import swin_block as fsb
+
+    c, nh, g, b = 96, 4, 4, 2
+    blk, flat = _block_params(rng, c, nh)
+    q, _ = np.linalg.qr(rng.standard_normal((c, c)))
+    rparams = {"basis": jnp.asarray(q.astype(np.float32)),
+               "mean": jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.01),
+               "lam": jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))}
+    x = jnp.asarray(rng.standard_normal((b * g, 64, c)).astype(np.float32) * 0.5)
+    fp = flat + (rparams["basis"], rparams["mean"], rparams["lam"])
+    ref = fsb._xla_twin(x, blk, rparams, nh=nh, window=8, nw=g,
+                        shift=4, resolution=(16, 16), double_ffn=False)
+    scale = float(np.abs(np.asarray(ref)).max())
+
+    with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        got = fsb.fused_swin_block(x, fp, nh, 8, g, 4, (16, 16), True, False,
+                                   jnp.bfloat16)
+    assert got.dtype == jnp.float32
+    rel = float(np.abs(np.asarray(got) - np.asarray(ref)).max()) / scale
+    assert rel < 0.03, rel
+
+    small = ln_mlp._vmem_need(64, c, 384 // 2, c) + 1
+    with mock.patch.object(fsb, "_VMEM_BUDGET", 1), \
+         mock.patch.object(ln_mlp, "_VMEM_BUDGET", small), \
+         mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        got2 = fsb.fused_swin_block(x, fp, nh, 8, g, 4, (16, 16), True, False,
+                                    jnp.bfloat16)
+    rel2 = float(np.abs(np.asarray(got2) - np.asarray(ref)).max()) / scale
+    assert rel2 < 0.03, rel2
+
+
 def test_fused_frontend_matches_rfft(rng):
     from audio_residual_tpu.ops import frontend as fe
     from audio_residual_tpu.ops.pallas import frontend as pfe
