@@ -1,0 +1,285 @@
+"""Vision towers (CLIP legacy): oracle parity vs the reference model.py
+towers, timm-adapter semantics, image transforms, imagenet zero-shot."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from audio_residual_tpu.models import vision
+from audio_residual_tpu.models.vision import VisionCfg
+
+
+def _t(x):
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(x, np.float32)))
+
+
+def _vit_state_dict(p, patch):
+    w = p["class_embedding"].shape[0]
+    sd = {
+        "conv1.weight": _t(np.asarray(p["patch_embed"]["kernel"]).reshape(patch, patch, 3, w).transpose(3, 2, 0, 1)),
+        "class_embedding": _t(p["class_embedding"]),
+        "positional_embedding": _t(p["positional_embedding"]),
+        "ln_pre.weight": _t(p["ln_pre"]["scale"]),
+        "ln_pre.bias": _t(p["ln_pre"]["bias"]),
+        "ln_post.weight": _t(p["ln_post"]["scale"]),
+        "ln_post.bias": _t(p["ln_post"]["bias"]),
+        "proj": _t(p["proj"]),
+    }
+    for i, blk in enumerate(p["blocks"]):
+        pre = f"text_branch.resblocks.{i}."
+        sd[pre + "attn.in_proj_weight"] = _t(np.asarray(blk["attn"]["in_proj"]["kernel"]).T)
+        sd[pre + "attn.in_proj_bias"] = _t(blk["attn"]["in_proj"]["bias"])
+        sd[pre + "attn.out_proj.weight"] = _t(np.asarray(blk["attn"]["out_proj"]["kernel"]).T)
+        sd[pre + "attn.out_proj.bias"] = _t(blk["attn"]["out_proj"]["bias"])
+        sd[pre + "ln_1.weight"] = _t(blk["ln1"]["scale"])
+        sd[pre + "ln_1.bias"] = _t(blk["ln1"]["bias"])
+        sd[pre + "ln_2.weight"] = _t(blk["ln2"]["scale"])
+        sd[pre + "ln_2.bias"] = _t(blk["ln2"]["bias"])
+        sd[pre + "mlp.c_fc.weight"] = _t(np.asarray(blk["mlp"]["c_fc"]["kernel"]).T)
+        sd[pre + "mlp.c_fc.bias"] = _t(blk["mlp"]["c_fc"]["bias"])
+        sd[pre + "mlp.c_proj.weight"] = _t(np.asarray(blk["mlp"]["c_proj"]["kernel"]).T)
+        sd[pre + "mlp.c_proj.bias"] = _t(blk["mlp"]["c_proj"]["bias"])
+    return sd
+
+
+def test_vit_matches_reference(rng):
+    """VisualTransformer parity (`model.py:305-372`) with shared random
+    weights through the NHWC/patch-matmul redesign."""
+    from . import reference_oracle as oracle
+
+    ref_model = oracle._load_ref_package().model
+    cfg = VisionCfg(layers=2, width=64, patch_size=8, image_size=32)
+    params = init_randomized(rng, cfg, embed_dim=32)
+
+    vt = ref_model.VisualTransformer(
+        image_size=32, patch_size=8, width=64, layers=2, heads=1, output_dim=32
+    )
+    vt.eval()
+    missing, unexpected = vt.load_state_dict(_vit_state_dict(params, 8), strict=False)
+    assert not unexpected and not missing, (missing, unexpected)
+
+    img = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(vision.vit_apply(params, jnp.asarray(img), cfg))
+    with torch.no_grad():
+        want = vt(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def init_randomized(rng, cfg, embed_dim):
+    """init + randomize the zero-init pieces so parity covers every term."""
+    params = (
+        vision.init_vit_params(jax.random.PRNGKey(0), cfg, embed_dim)
+        if isinstance(cfg.layers, int)
+        else vision.init_resnet_params(jax.random.PRNGKey(0), cfg, embed_dim)
+    )
+
+    def jitter(tree):
+        if isinstance(tree, dict):
+            return {k: jitter(v) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [jitter(v) for v in tree]
+        arr = np.asarray(tree)
+        return jnp.asarray(arr + 0.05 * rng.standard_normal(arr.shape).astype(arr.dtype))
+
+    params = jitter(params)
+    # BN variances must stay positive
+    def fix_var(tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k == "var":
+                    tree[k] = jnp.abs(v) + 0.5
+                else:
+                    fix_var(v)
+        elif isinstance(tree, list):
+            for v in tree:
+                fix_var(v)
+
+    fix_var(params)
+    return params
+
+
+def _bn_sd(dst, p):
+    return {
+        f"{dst}.weight": _t(p["scale"]),
+        f"{dst}.bias": _t(p["bias"]),
+        f"{dst}.running_mean": _t(p["mean"]),
+        f"{dst}.running_var": _t(p["var"]),
+    }
+
+
+def _conv_t(kernel):
+    return _t(np.asarray(kernel).transpose(3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def _resnet_state_dict(p, layers):
+    sd = {}
+    for name in ("conv1", "conv2", "conv3"):
+        sd[f"{name}.weight"] = _conv_t(p[name]["kernel"])
+    for name in ("bn1", "bn2", "bn3"):
+        sd.update(_bn_sd(name, p[name]))
+    for i in range(len(layers)):
+        for j, blk in enumerate(p[f"layer{i + 1}"]):
+            pre = f"layer{i + 1}.{j}."
+            for name in ("conv1", "conv2", "conv3"):
+                sd[pre + name + ".weight"] = _conv_t(blk[name]["kernel"])
+            for name in ("bn1", "bn2", "bn3"):
+                sd.update(_bn_sd(pre + name, blk[name]))
+            if "downsample" in blk:
+                sd[pre + "downsample.0.weight"] = _conv_t(blk["downsample"]["conv"]["kernel"])
+                sd.update(_bn_sd(pre + "downsample.1", blk["downsample"]["bn"]))
+    ap = p["attnpool"]
+    sd["attnpool.positional_embedding"] = _t(ap["positional_embedding"])
+    for name in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        sd[f"attnpool.{name}.weight"] = _t(np.asarray(ap[name]["kernel"]).T)
+        sd[f"attnpool.{name}.bias"] = _t(ap[name]["bias"])
+    return sd
+
+
+def test_resnet_matches_reference(rng):
+    """ModifiedResNet parity (`model.py:153-241`): anti-aliased bottlenecks,
+    eval-mode BN against running stats, QKV attention pool."""
+    from . import reference_oracle as oracle
+
+    ref_model = oracle._load_ref_package().model
+    layers = (1, 1, 1, 1)
+    cfg = VisionCfg(layers=layers, width=8, image_size=64)
+    params = init_randomized(rng, cfg, embed_dim=32)
+
+    rn = ref_model.ModifiedResNet(layers=list(layers), output_dim=32,
+                                  heads=8 * 32 // 64, image_size=64, width=8)
+    rn.eval()
+    missing, unexpected = rn.load_state_dict(_resnet_state_dict(params, layers), strict=False)
+    bad = [m for m in missing if "num_batches_tracked" not in m]
+    assert not unexpected and not bad, (bad, unexpected)
+
+    img = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(vision.resnet_apply(params, jnp.asarray(img), cfg))
+    with torch.no_grad():
+        want = rn(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_timm_adapter_variants(rng):
+    """Adapter head semantics (`timm_model.py:42-69`): avg+linear, avg+mlp on
+    a ViT trunk; abs_attn on the resnet trunk; error paths."""
+    img = jnp.asarray(rng.standard_normal((2, 224, 224, 3)).astype(np.float32) * 0.1)
+    for pool, proj in [("avg", "linear"), ("avg", "mlp"), ("", "linear")]:
+        cfg = VisionCfg(timm_model_name="vit_base_patch32_224", timm_pool=pool, timm_proj=proj)
+        init_fn, apply_fn = vision.create_vision_tower(16, cfg)
+        p = init_fn(jax.random.PRNGKey(0))
+        out = apply_fn(p, img)
+        assert out.shape == (2, 16)
+        assert "proj" not in p["trunk"]  # adapter trunk has no CLIP projection
+
+    cfg = VisionCfg(timm_model_name="resnet50", timm_pool="abs_attn")
+    init_fn, apply_fn = vision.create_vision_tower(16, cfg)
+    p = init_fn(jax.random.PRNGKey(1))
+    small = jnp.asarray(rng.standard_normal((1, 224, 224, 3)).astype(np.float32) * 0.1)
+    assert apply_fn(p, small).shape == (1, 16)
+
+    with pytest.raises(RuntimeError, match="trunk registry"):
+        vision.create_vision_tower(16, VisionCfg(timm_model_name="nope"))
+    with pytest.raises(NotImplementedError):
+        vision.create_vision_tower(16, VisionCfg(timm_model_name="resnet50", timm_pool="rot_attn"))
+    with pytest.raises(ValueError, match="abs_attn"):
+        vision.create_vision_tower(16, VisionCfg(timm_model_name="vit_base_patch32_224", timm_pool="abs_attn"))
+
+
+def test_vision_dispatch_and_freeze():
+    cfg_vit = VisionCfg(layers=2, width=64, patch_size=8, image_size=32)
+    init_fn, _ = vision.create_vision_tower(8, cfg_vit)
+    p = init_fn(jax.random.PRNGKey(0))
+    mask = vision.vision_freeze_mask(p)
+    assert all(jax.tree.leaves(mask))  # full lock (`model.py:339-344`)
+    mask = vision.vision_freeze_mask(p, unlocked_groups=1)
+    assert not any(jax.tree.leaves(mask["blocks"][-1]))
+    assert all(jax.tree.leaves(mask["blocks"][0]))
+
+    cfg_rn = VisionCfg(layers=(1, 1, 1, 1), width=8, image_size=64)
+    init_fn, _ = vision.create_vision_tower(8, cfg_rn)
+    p = init_fn(jax.random.PRNGKey(0))
+    mask = vision.vision_freeze_mask(p, unlocked_groups=1)
+    assert not any(jax.tree.leaves(mask["layer4"]))
+    assert all(jax.tree.leaves(mask["layer1"]))
+
+
+def test_image_transform_eval_geometry():
+    from PIL import Image
+
+    from audio_residual_tpu.data.transforms import image_transform
+
+    t = image_transform(32, is_train=False)
+    # constant image survives resize/crop exactly -> inverse-normalized value
+    img = Image.new("RGB", (100, 60), (128, 64, 32))
+    out = t(img)
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
+    expect = (np.array([128, 64, 32], np.float32) / 255.0
+              - np.array(vision.OPENAI_DATASET_MEAN, np.float32)) / np.array(
+                  vision.OPENAI_DATASET_STD, np.float32)
+    np.testing.assert_allclose(out[0, 0], expect, atol=1e-2)
+    np.testing.assert_allclose(out.std(axis=(0, 1)), 0, atol=1e-2)
+
+
+def test_image_transform_train_seeded(rng):
+    from audio_residual_tpu.data.transforms import image_transform
+
+    t = image_transform(16, is_train=True)
+    img = (rng.uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+    a = t(img, np.random.default_rng(3))
+    b = t(img, np.random.default_rng(3))
+    c = t(img, np.random.default_rng(4))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (16, 16, 3)
+    assert np.abs(a - c).max() > 0  # different seed, different crop
+
+
+def test_imagenet_zeroshot_tables_and_classifier():
+    from audio_residual_tpu.evaluate import zero_shot_imagenet as zsi
+
+    names, templates = zsi.load_imagenet_zeroshot_data()
+    assert len(names) == 1000 and len(templates) == 80
+    assert all("{}" in t for t in templates)
+
+    # classifier: deterministic fake text encoder -> unit columns, ensembling
+    # averages across the 80 prompts (`zero_shot.py:13-27`)
+    def encode_text(texts):
+        h = np.asarray([abs(hash(t)) % 7 for t in texts], np.float32)
+        out = np.stack([np.cos(h), np.sin(h), np.ones_like(h)], axis=1)
+        return out
+
+    clf = zsi.zero_shot_classifier(encode_text, names[:5], templates[:4])
+    assert clf.shape == (3, 5)
+    np.testing.assert_allclose(np.linalg.norm(clf, axis=0), 1.0, rtol=1e-6)
+
+
+def test_imagenet_zeroshot_run_and_gating():
+    from audio_residual_tpu.evaluate import zero_shot_imagenet as zsi
+
+    logits = np.array([[0.9, 0.1, 0.0], [0.2, 0.5, 0.3], [0.1, 0.2, 0.7]])
+    assert zsi.accuracy(logits, np.array([0, 1, 2]), (1,)) == [3.0]
+    # row0 top2={0,1}∋1; row1 top2={1,2}∌0; row2 top2={2,1}∌0 -> one hit
+    assert zsi.accuracy(logits, np.array([1, 0, 0]), (1, 2)) == [0.0, 1.0]
+
+    classifier = np.eye(3)  # 3-dim embeds, 3 classes
+    batches = [(np.arange(6).reshape(2, 3), np.array([0, 1]))]
+
+    def encode_image(x):
+        return np.eye(3)[np.asarray(x)[:, 0] % 3]
+
+    top1, top5 = zsi.run_zero_shot(encode_image, classifier, batches)
+    assert top1 == 0.5 and top5 == 1.0  # [0,0] -> class 0 ok; [3,..] -> class 0 vs 1
+
+    # gating (`zero_shot.py:64-70`)
+    assert zsi.zero_shot_eval(None, None, {}, 0) == {}
+    assert zsi.zero_shot_eval(None, None, {"imagenet-val": []}, 0, zeroshot_frequency=0) == {}
+    assert zsi.zero_shot_eval(None, None, {"imagenet-val": []}, 1, zeroshot_frequency=2, epochs=5) == {}
+
+    out = zsi.zero_shot_eval(
+        encode_image, lambda texts: np.ones((len(texts), 3)),
+        {"imagenet-val": batches}, 2, zeroshot_frequency=2, epochs=5,
+        classnames=["a", "b", "c"], templates=["x {}"],
+    )
+    assert set(out) == {"imagenet-zeroshot-val-top1", "imagenet-zeroshot-val-top5"}
