@@ -32,9 +32,14 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))  # sweep: 64/128/256 -> 1687/1787/1725 clips/s
 CLIP_SAMPLES = 240000  # ESC-50: 5 s @ 48 kHz
 N_CLASSES = 50
+# bf16 matmul inputs on the MXU (f32 accumulate; LN/softmax/ResiDual
+# epilogue stay f32) — the TPU analog of the reference's AMP path. Measured
+# vs f32 on-chip: +7.1% clips/s, min embedding cos 0.999993, 100% zero-shot
+# argmax agreement over a 64-clip batch. BENCH_DTYPE=f32 reverts.
+BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 
 
 def make_inputs(batch: int, seed: int = 0) -> np.ndarray:
@@ -90,10 +95,14 @@ def bench_jax_tpu() -> tuple[float, float | None]:
     )
     text_embeds = text_embeds / jnp.linalg.norm(text_embeds, axis=-1, keepdims=True)
 
+    compute_dtype = jnp.bfloat16 if BENCH_DTYPE == "bf16" else None
+
     def zero_shot(params, wav):
         wav = quantize_roundtrip(wav)
         batch = featurize_batch(wav, cfg.audio.clip_samples)
-        out = clap_mod.encode_audio(params, batch, cfg, residual=residual)
+        out = clap_mod.encode_audio(
+            params, batch, cfg, residual=residual, compute_dtype=compute_dtype
+        )
         sims = out["normalized"] @ text_embeds.T
         return sims.argmax(-1)
 
