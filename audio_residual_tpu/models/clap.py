@@ -109,8 +109,14 @@ def init_clap_params(key: jax.Array, cfg: CLAPConfig = CLAPConfig()) -> dict:
     ka, kt, k1, k2, k3, k4 = jax.random.split(key, 6)
     j = cfg.joint_embed_shape
     text_width = text_tower_width(cfg)
+    if cfg.audio_model_type == "PANN":
+        from audio_residual_tpu.models import pann as pann_mod
+
+        audio_branch = pann_mod.init_pann_params(ka, cfg.audio)
+    else:
+        audio_branch = htsat_mod.init_htsat_params(ka, cfg.audio)
     return {
-        "audio_branch": htsat_mod.init_htsat_params(ka, cfg.audio),
+        "audio_branch": audio_branch,
         "text_branch": _init_text_branch(kt, cfg),
         # two-layer MLP projections (`model.py:517-537`)
         "audio_projection": _proj_init(k1, cfg.embed_dim, j, j),
@@ -160,20 +166,33 @@ def encode_audio(
     """Audio branch forward -> output dict (the `get_audio_output_dict`
     equivalent, `model.py:745-762`). Pass ``taps`` for attention/residual
     extraction; ``projected`` / ``normalized`` keys are added on top of the
-    branch outputs."""
-    out = htsat_mod.htsat_apply(
-        params["audio_branch"],
-        batch,
-        cfg.audio,
-        train=train,
-        rng=rng,
-        taps=taps,
-        residual=residual,
-        double_ffn_compat=double_ffn_compat,
-        compute_dtype=compute_dtype,
-        start_layer=start_layer,
-        stop_at_layer=stop_at_layer,
-    )
+    branch outputs. The branch dispatches on ``cfg.audio_model_type``
+    (`model.py:464-470`); taps/residual/layer-splitting are HTSAT-only
+    (the reference's ResiDual targets Swin blocks)."""
+    if cfg.audio_model_type == "PANN":
+        if taps or residual or start_layer or stop_at_layer is not None:
+            raise ValueError(
+                "taps/residual/start_layer/stop_at_layer are HTSAT-only"
+            )
+        from audio_residual_tpu.models import pann as pann_mod
+
+        out = pann_mod.pann_apply(
+            params["audio_branch"], batch, cfg.audio, train=train, rng=rng
+        )
+    else:
+        out = htsat_mod.htsat_apply(
+            params["audio_branch"],
+            batch,
+            cfg.audio,
+            train=train,
+            rng=rng,
+            taps=taps,
+            residual=residual,
+            double_ffn_compat=double_ffn_compat,
+            compute_dtype=compute_dtype,
+            start_layer=start_layer,
+            stop_at_layer=stop_at_layer,
+        )
     if stop_at_layer is not None:
         return out  # {"tokens": ...} prefix
     proj = apply_projection(cfg, params["audio_projection"], out["embedding"])

@@ -646,7 +646,10 @@ def htsat_apply(
         if cfg.use_pallas_frontend and jax.default_backend() not in ("cpu",):
             from audio_residual_tpu.ops.pallas import frontend as pallas_fe
 
-            x = pallas_fe.fused_logmel(wav, fcfg)  # [B, T, F]
+            # bf16 AMP mode extends to the DFT: 3-pass bf16 split-pair
+            # (~3e-3 dB max error) halves the frontend's MXU passes
+            dft = "bf16x3" if compute_dtype == jnp.bfloat16 else None
+            x = pallas_fe.fused_logmel(wav, fcfg, dft_mode=dft)  # [B, T, F]
         else:
             x = frontend.logmel(wav, fcfg)  # [B, T, F]
         x, bn0_state = frontend.batch_norm_mel(x, params["bn0"], train=train)

@@ -51,6 +51,7 @@ class PANNConfig:
     enable_fusion: bool = False
     fusion_type: str = "None"
     dtype: Any = jnp.float32
+    use_pallas_frontend: bool = True  # fused log-mel kernel off-CPU
 
     @property
     def variant(self) -> dict:
@@ -221,7 +222,12 @@ def pann_apply(
 
     if not fused_input:
         wav = batch["waveform"] if isinstance(batch, dict) else batch
-        x = frontend.logmel(wav, cfg.frontend_config)  # [B, T, F]
+        if cfg.use_pallas_frontend and jax.default_backend() not in ("cpu",):
+            from audio_residual_tpu.ops.pallas import frontend as pallas_fe
+
+            x = pallas_fe.fused_logmel(wav, cfg.frontend_config)  # [B, T, F]
+        else:
+            x = frontend.logmel(wav, cfg.frontend_config)  # [B, T, F]
         x, _ = frontend.batch_norm_mel(x, params["bn0"], train=False)
         x = x[..., None]  # NHWC, H=T W=F C=1
     else:

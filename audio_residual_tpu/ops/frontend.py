@@ -146,6 +146,19 @@ def mel_filterbank(cfg: FrontendConfig) -> np.ndarray:
     return weights.T.astype(np.float32)  # [n_freqs, n_mels]
 
 
+def mel_active_bins(cfg: FrontendConfig) -> tuple[int, int]:
+    """``[lo, hi)`` FFT-bin range with any nonzero mel weight.
+
+    Bins outside ``[fmin, fmax]``'s triangles carry exactly-zero weights
+    (`mel_filterbank` maximum(0, ...)), so restricting the DFT + power
+    spectrum to this range drops only zero terms from the mel sum — exact up
+    to accumulation-order rounding. For HTSAT (fmax 14 kHz @ 48 kHz, n_fft
+    1024) this keeps ~300 of 513 bins: a 1.7x FLOP cut in the frontend's
+    dominant matmul."""
+    nz = np.flatnonzero(mel_filterbank(cfg).any(axis=1))
+    return int(nz[0]), int(nz[-1]) + 1
+
+
 @functools.lru_cache(maxsize=8)
 def _dft_bases(n_fft: int, win_length: int) -> tuple[np.ndarray, np.ndarray]:
     """Windowed real-DFT bases ``cos, sin`` of shape ``[n_fft, n_fft//2+1]``.

@@ -38,6 +38,43 @@ def test_create_model_unknown_raises():
         factory.create_model("No-Such-Model")
 
 
+def test_create_model_every_registered_config():
+    """Every shipped model config builds (`factory.py:73-227` accepts all 11
+    audio configs): params exist for the right branch type and the audio cfg
+    round-trips the registry values. Eager init — per-config jit compiles
+    would dominate the suite."""
+    import jax
+
+    factory._rescan()
+    with jax.disable_jit():
+        for name in sorted(factory.list_models()):
+            params, cfg, model_cfg = factory.create_model(name)
+            if model_cfg["audio_cfg"]["model_type"] == "PANN":
+                assert "conv_blocks" in params["audio_branch"], name
+            else:
+                assert "patch_embed" in params["audio_branch"], name
+            assert "text_branch" in params
+            assert cfg.audio.sample_rate == model_cfg["audio_cfg"]["sample_rate"], name
+
+
+def test_pann_clap_encode_audio(rng):
+    """CLAP-level PANN branch (`model.py:464-465`): encode_audio dispatches
+    to pann_apply and projects its 512-d Cnn6 embedding."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_residual_tpu.models import clap as clap_mod
+
+    params, cfg, _ = factory.create_model("PANN-6")
+    wav = jnp.asarray(rng.standard_normal((2, 48000)).astype(np.float32) * 0.1)
+    out = clap_mod.encode_audio(params, {"waveform": wav}, cfg)
+    assert out["normalized"].shape == (2, cfg.joint_embed_shape)
+    assert np.all(np.isfinite(np.asarray(out["normalized"])))
+    with pytest.raises(ValueError, match="HTSAT-only"):
+        clap_mod.encode_audio(params, {"waveform": wav}, cfg, taps=("residual",))
+    del jax
+
+
 def test_clap_ckpt_convert_roundtrip(rng):
     """Full checkpoint converter: build a torch-layout state dict from our
     reverse converter (HTSAT) + HF roberta + projection heads, convert it

@@ -279,3 +279,36 @@ def test_fused_frontend_matches_rfft(rng):
     with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
         got = pfe.fused_logmel(wav, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_fused_frontend_bf16x3_mode(rng):
+    """The AMP-mode DFT (3-pass bf16 split-pair) stays within a few
+    millidB of the f32 log-mel (the model's bf16 path couples to it)."""
+    from audio_residual_tpu.ops import frontend as fe
+    from audio_residual_tpu.ops.pallas import frontend as pfe
+
+    cfg = fe.FrontendConfig()
+    wav = jnp.asarray((rng.standard_normal((2, 24000)) * 0.1).astype(np.float32))
+    ref = fe.logmel(wav, cfg)
+    with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        got = pfe.fused_logmel(wav, cfg, dft_mode="bf16x3")
+    assert float(jnp.abs(got - ref).max()) < 0.02  # dB
+
+
+def test_mel_active_bins_trim_is_exact(rng):
+    """Bins outside [fmin, fmax] have exactly-zero mel weight, so the
+    trimmed DFT drops only zero terms (the fused kernel's ~1.7x FLOP cut
+    rests on this). Equal up to the contraction's accumulation-order
+    rounding."""
+    from audio_residual_tpu.ops import frontend as fe
+
+    cfg = fe.FrontendConfig()
+    lo, hi = fe.mel_active_bins(cfg)
+    W = fe.mel_filterbank(cfg)
+    assert 0 <= lo < hi <= cfg.n_fft // 2 + 1
+    assert hi - lo < 320  # fmax 14 kHz @ 48 kHz keeps ~300 of 513 bins
+    assert not W[:lo].any() and not W[hi:].any()
+    power = np.abs(rng.standard_normal((7, W.shape[0]))).astype(np.float32)
+    full = power @ W
+    trimmed = power[:, lo:hi] @ W[lo:hi]
+    np.testing.assert_allclose(trimmed, full, rtol=2e-6, atol=0)
