@@ -189,6 +189,15 @@ def test_clap_module_end_to_end_tiny(tmp_path):
         assert temb.shape == (2, 512)
         out = m.get_audio_output_dict(wav)
         assert "layers_attention" in out and "layers_residuals" in out
+
+        # AMP inference mode: bf16 matmul inputs stay close to the f32 path
+        import jax.numpy as jnp
+
+        m16 = CLAPModule(amodel="HTSAT-tiny-test",
+                         tokenizer=HashTokenizer(context_length=77),
+                         compute_dtype=jnp.bfloat16)
+        emb16 = m16.get_audio_embedding_from_data(wav)
+        assert float(np.min(np.sum(emb * emb16, axis=-1))) > 0.999
     finally:
         HTSAT_VARIANTS.pop("tiny-test")
         fac._CONFIG_DIRS.pop()
