@@ -193,6 +193,80 @@ def main() -> int:
 
     stage("compiled_kernel_parity", s5)
 
+    def s6():
+        # other model families on the chip: CLAP-level PANN branch
+        # (model.py:464-465 dispatch) and the CLIP-legacy vision towers
+        from audio_residual_tpu.models import clap as clap_mod
+        from audio_residual_tpu.models import factory, vision
+
+        p6, cfg6, _ = factory.create_model("PANN-6")
+        short = jnp.asarray((rng.standard_normal((2, 48000)) * 0.1).astype(np.float32))
+        pann_out = jax.jit(
+            lambda pp, w: clap_mod.encode_audio(pp, {"waveform": w}, cfg6)["normalized"]
+        )(p6, short)
+        jax.block_until_ready(pann_out)
+        assert np.isfinite(np.asarray(pann_out)).all()
+
+        vcfg = vision.VisionCfg(layers=2, width=128, patch_size=16, image_size=64)
+        init_v, apply_v = vision.create_vision_tower(64, vcfg)
+        pv = init_v(jax.random.PRNGKey(2))
+        img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+        v_out = jax.jit(apply_v)(pv, img)
+        jax.block_until_ready(v_out)
+        assert v_out.shape == (2, 64)
+        return {"pann_embed_norm": float(np.linalg.norm(np.asarray(pann_out), axis=-1).mean()),
+                "vit_out_dim": int(v_out.shape[-1])}
+
+    stage("other_model_families", s6)
+
+    def s7():
+        # contrastive train-step throughput (the pretraining path, bf16,
+        # scan-amortized): full CLAP forward + 2-term ClipLoss + adamw update
+        import optax
+
+        from audio_residual_tpu.models import clap as clap_mod
+        from audio_residual_tpu.training.losses import clip_loss
+
+        bsz = 16
+        twav = jnp.asarray((rng.standard_normal((bsz, 240000)) * 0.1).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (bsz, 77)))
+        amask = jnp.ones((bsz, 77), jnp.int32)
+        opt = optax.adamw(1e-4)
+        opt_state = opt.init(params)
+
+        def loss_fn(p, w):
+            out = clap_mod.clap_apply(p, feat_batch(w), ids, amask, cfg,
+                                      compute_dtype=jnp.bfloat16)
+            return clip_loss(out)
+
+        def feat_batch(w):
+            from audio_residual_tpu.data.featurize import featurize_batch
+
+            return featurize_batch(quantize_roundtrip(w), cfg.audio.clip_samples)
+
+        @jax.jit
+        def steps(p, s, w):
+            def body(carry, _):
+                p_, s_ = carry
+                loss, grads = jax.value_and_grad(loss_fn)(p_, w)
+                updates, s2 = opt.update(grads, s_, p_)
+                return (optax.apply_updates(p_, updates), s2), loss
+            (p, s), losses = jax.lax.scan(body, (p, s), None, length=3)
+            return losses
+
+        losses = steps(params, opt_state, twav)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        losses = steps(params, opt_state, twav)
+        jax.block_until_ready(losses)
+        dt = (time.perf_counter() - t0) / 3
+        lo = np.asarray(losses)
+        assert np.isfinite(lo).all()
+        return {"train_clips_per_sec": round(bsz / dt, 1),
+                "loss_first": float(lo[0])}
+
+    stage("train_step_throughput", s7)
+
     print("TPU_DRIVE " + json.dumps(results), flush=True)
     return 0 if results["ok"] else 1
 

@@ -281,6 +281,21 @@ def test_fused_frontend_matches_rfft(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
 
 
+@pytest.mark.parametrize("n_fft,hop,fmax", [(1536, 480, 14000.0), (1024, 320, 18000.0)])
+def test_fused_frontend_other_configs(rng, n_fft, hop, fmax):
+    """Non-default FFT/hop/fmax configs (PANN-14-win-1536 etc.): exercises
+    the k=4 row-span and different active-bin trims."""
+    from audio_residual_tpu.ops import frontend as fe
+    from audio_residual_tpu.ops.pallas import frontend as pfe
+
+    cfg = fe.FrontendConfig(n_fft=n_fft, win_length=n_fft, hop_length=hop, fmax=fmax)
+    wav = jnp.asarray((rng.standard_normal((2, 24000)) * 0.1).astype(np.float32))
+    ref = fe.logmel(wav, cfg)
+    with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        got = pfe.fused_logmel(wav, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
 def test_fused_frontend_bf16x3_mode(rng):
     """The AMP-mode DFT (3-pass bf16 split-pair) stays within a few
     millidB of the f32 log-mel (the model's bf16 path couples to it)."""
