@@ -131,7 +131,9 @@ def fused_logmel(
         widths.append(min(hop, n_fft - used))
         used += widths[-1]
 
-    blk = 512
+    # frame block: 512 on the hot path, shrunk (8-aligned for the f32
+    # sublane tiling) for short inputs so a 51-frame clip doesn't pay for 512
+    blk = min(512, -(-nf // 8) * 8)
     nf_pad = -(-nf // blk) * blk
     overhang = -(-(k - 1) // 8) * 8  # DMA windows need 8-row alignment
     rows_needed = nf_pad + overhang
