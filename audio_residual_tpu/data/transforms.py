@@ -24,16 +24,16 @@ OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
 def _to_pil(image):
+    """PIL passthrough; uint8 arrays as-is; float arrays are 0-1 normalized
+    by contract (no magnitude guessing — a 0-255-scale float image must be
+    converted by the caller)."""
     from PIL import Image
 
     if isinstance(image, Image.Image):
         return image
     arr = np.asarray(image)
     if arr.dtype != np.uint8:
-        arr = np.clip(arr, 0.0, 1.0 if arr.max() <= 1.0 else 255.0)
-        if arr.max() <= 1.0:
-            arr = arr * 255.0
-        arr = arr.astype(np.uint8)
+        arr = (np.clip(arr, 0.0, 1.0) * 255.0).round().astype(np.uint8)
     return Image.fromarray(arr)
 
 

@@ -34,6 +34,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audio_residual_tpu.data.transforms import (
+    OPENAI_DATASET_MEAN,
+    OPENAI_DATASET_STD,
+)
+
 __all__ = [
     "VisionCfg",
     "init_vit_params",
@@ -43,6 +48,9 @@ __all__ = [
     "attention_pool_2d",
     "create_vision_tower",
     "vision_freeze_mask",
+    # normalization constants re-exported from data.transforms
+    "OPENAI_DATASET_MEAN",
+    "OPENAI_DATASET_STD",
 ]
 
 
@@ -440,14 +448,16 @@ def _create_timm_adapter(embed_dim: int, cfg: VisionCfg):
                 "c_proj": {"kernel": std * jax.random.normal(jax.random.fold_in(k_pool, 4), (feat, embed_dim)), "bias": jnp.zeros((embed_dim,))},
             }
             prev = embed_dim
-        if pool != "abs_attn":
-            if proj == "linear":
-                params["head"] = {"proj": _init_linear(k_h1, prev, embed_dim)}
-            else:  # mlp: fc1 -> 2*embed, fc2 -> embed (`timm_model.py:66-67`)
-                params["head"] = {
-                    "fc1": _init_linear(k_h1, prev, 2 * embed_dim),
-                    "fc2": _init_linear(k_h2, 2 * embed_dim, embed_dim),
-                }
+        # the reference builds the proj head even after abs_attn when
+        # timm_proj is set (`timm_model.py:62-67` — its NOTE says proj
+        # "should usually be ''" with attention pooling, but the code adds it)
+        if proj == "linear":
+            params["head"] = {"proj": _init_linear(k_h1, prev, embed_dim)}
+        elif proj == "mlp":  # fc1 -> 2*embed, fc2 -> embed (`timm_model.py:66-67`)
+            params["head"] = {
+                "fc1": _init_linear(k_h1, prev, 2 * embed_dim),
+                "fc2": _init_linear(k_h2, 2 * embed_dim, embed_dim),
+            }
         return params
 
     def apply_fn(params: dict, images: jnp.ndarray) -> jnp.ndarray:
@@ -465,9 +475,12 @@ def _create_timm_adapter(embed_dim: int, cfg: VisionCfg):
             fmap = resnet_apply(params["trunk"], images, trunk_cfg, pool=False)
             if pool == "abs_attn":
                 heads = trunk_cfg.width * 32 // 64
-                return attention_pool_2d(params["pool"], fmap, heads)
-            feats = jnp.mean(fmap, axis=(1, 2))
-        head = params["head"]
+                feats = attention_pool_2d(params["pool"], fmap, heads)
+            else:
+                feats = jnp.mean(fmap, axis=(1, 2))
+        head = params.get("head")
+        if head is None:  # abs_attn with proj='' ends at the pool projection
+            return feats
         if proj == "linear":
             return feats @ head["proj"]["kernel"] + head["proj"]["bias"]
         h = _gelu(feats @ head["fc1"]["kernel"] + head["fc1"]["bias"], False)
@@ -515,9 +528,7 @@ def _set_tree(tree, value):
 def _maybe_unfreeze(tree, keys):
     for k in keys:
         if k in tree:
-            _set_tree(tree[k], False)
+            # assign back: _set_tree mutates containers but RETURNS leaves
+            tree[k] = _set_tree(tree[k], False)
 
 
-# default image-channel normalization shared with data.transforms
-OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
-OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)

@@ -108,19 +108,23 @@ class CLAPModule:
             b *= 2
         return b
 
-    def _audio_fn(self, shape_key, *, quantize: bool, taps=(), residual=None):
-        key = ("audio", shape_key, quantize, taps, residual is not None)
+    def _audio_fn(self, shape_key, *, quantize: bool, taps=(), residual_layers=()):
+        # residual params are jit OPERANDS (passed each call), so re-invoking
+        # with updated basis/λ — e.g. after a λ-training step — never reuses
+        # a closure traced over stale arrays; only the injected-layer set is
+        # part of the trace key
+        key = ("audio", shape_key, quantize, taps, residual_layers)
         if key not in self._embed_cache:
             cfg = self.cfg
 
             dtype = self.compute_dtype
 
             @jax.jit
-            def f(params, wav, rng):
+            def f(params, wav, rng, residual):
                 w = quantize_roundtrip(wav) if quantize else wav
                 batch = featurize_batch(w, cfg.audio.clip_samples, rng=rng)
                 return clap_mod.encode_audio(
-                    params, batch, cfg, taps=taps, residual=residual,
+                    params, batch, cfg, taps=taps, residual=residual or None,
                     compute_dtype=dtype,
                 )
 
@@ -136,9 +140,9 @@ class CLAPModule:
         # reference (`data.py:465-468`) while staying reproducible per module
         rng = jax.random.fold_in(jax.random.PRNGKey(self._crop_seed), self._crop_calls)
         self._crop_calls += 1
-        out = self._audio_fn((b, t), quantize=quantize, taps=taps, residual=residual)(
-            self.params, jnp.asarray(x), rng
-        )
+        layers = tuple(sorted(residual)) if residual else ()
+        fn = self._audio_fn((b, t), quantize=quantize, taps=taps, residual_layers=layers)
+        out = fn(self.params, jnp.asarray(x), rng, residual or {})
         return jax.tree.map(lambda a: a[:n], out)
 
     def get_audio_embedding_from_data(self, x, use_tensor: bool = False):

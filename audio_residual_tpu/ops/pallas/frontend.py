@@ -27,8 +27,10 @@ __all__ = ["fused_logmel"]
 
 _LOG10_INV = float(1.0 / np.log(10.0))
 
-# DFT matmul mode (read at trace time; module-level so benchmarks can probe
-# the speed/accuracy trade without a config plumb-through):
+# Default DFT matmul mode when ``fused_logmel(dft_mode=None)``. NOTE: jit
+# caches on the (cfg, dft_mode) static key, NOT on this global — changing it
+# after a None-mode call has been traced is a silent no-op for those shapes;
+# pass dft_mode explicitly to sweep modes within one process:
 #   "f32"    — Precision.HIGHEST, 6-pass bf16 decomposition on the MXU;
 #              f32-exact, the torch.stft-golden default.
 #   "bf16x3" — manual split-pair: x = hi + lo with hi = bf16(x); three
@@ -54,7 +56,7 @@ def _split_dot(a, b):
 
 
 def _rows_kernel(rows_hbm, basis_ref, mel_ref, o_ref, scratch, sem,
-                 *, blk, k, hop, widths, nbins, amin, db_offset, mode):
+                 *, blk, k, widths, nbins, amin, db_offset, mode):
     """In-kernel framing: frame ``i`` starts at ``i*hop``, so it is the
     concatenation of hop-sized rows ``i..i+k-1`` (last truncated) — the DFT
     ``frames @ basis`` therefore splits as ``sum_j rows[i+j] @ basis_j``,
@@ -153,7 +155,7 @@ def fused_logmel(
     db_offset = float(10.0 * np.log10(max(cfg.amin, cfg.ref)))
 
     kernel = functools.partial(
-        _rows_kernel, blk=blk, k=k, hop=hop, widths=tuple(widths),
+        _rows_kernel, blk=blk, k=k, widths=tuple(widths),
         nbins=nbins, amin=cfg.amin, db_offset=db_offset, mode=mode,
     )
     out = pl.pallas_call(

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from audio_residual_tpu.ops.pallas import common
+
 __all__ = ["fused_residual_ffn", "ffn_plan"]
 
 _VMEM_BUDGET = 13 * 1024 * 1024
@@ -60,24 +62,9 @@ def ffn_plan(rows: int, c: int, hidden: int, k_res: int = 0) -> tuple[int, int] 
     return None
 
 
-def _erf_f32(x):
-    """erf via Abramowitz-Stegun 7.1.26 (Mosaic lowers exp, not erf)."""
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-           + t * (-1.453152027 + t * 1.061405429))))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _gelu_exact(x):
-    return x * 0.5 * (1.0 + _erf_f32(x * 0.7071067811865476))
-
-
-def _ln(x, scale, bias, eps=1e-5):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+# shared numeric core (ops/pallas/common.py) under the historical local names
+_gelu_exact = common.gelu_exact
+_ln = common.layer_norm
 
 
 def _kernel(x_ref, a_ref, n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
@@ -128,8 +115,7 @@ def fused_residual_ffn(
     rows) -> post-block rows ``y [R, C]``."""
     rows, c = x.shape
     hidden = wfc1.shape[1]
-    k_res = rparams["basis"].shape[0] if rparams is not None else 1
-    plan = ffn_plan(rows, c, hidden, k_res if rparams is not None else 0)
+    plan = ffn_plan(rows, c, hidden, rparams["basis"].shape[0] if rparams is not None else 0)
     if plan is None:
         raise ValueError(f"fused_residual_ffn: no VMEM plan for rows={rows} c={c} hidden={hidden}")
     r, hc = plan

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from audio_residual_tpu.ops.pallas import common
+
 from audio_residual_tpu.ops import windows as win_ops
 
 __all__ = ["fused_swin_block", "block_pick_group", "block_supports"]
@@ -78,28 +80,9 @@ def block_supports(nw: int, n: int, c: int, nh: int, hidden: int) -> bool:
     return _split_plan_supports(nw, n, c, nh, hidden)
 
 
-def _erf_f32(x):
-    """erf via Abramowitz-Stegun 7.1.26 (max error 1.5e-7 == f32 resolution).
-
-    Mosaic lowers neither erf nor erfc; exp it does.
-    """
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-           + t * (-1.453152027 + t * 1.061405429))))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _gelu_exact(x):
-    """Exact (erf) gelu matching torch nn.GELU() within f32 resolution."""
-    return x * 0.5 * (1.0 + _erf_f32(x * 0.7071067811865476))
-
-
-def _ln(x, scale, bias, eps=1e-5):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+# shared numeric core (ops/pallas/common.py) under the historical local names
+_gelu_exact = common.gelu_exact
+_ln = common.layer_norm
 
 
 def _kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
@@ -299,7 +282,11 @@ def _split_block(x, flat_params, nh, window, nw, shift, resolution,
         rparams = {"basis": res[0], "mean": res[1], "lam": res[2]}
     out = ln_mlp.fused_residual_ffn(
         x.reshape(bnw * n, c), a.reshape(bnw * n, c),
-        n2s, n2b, wfc1, bfc1, wfc2, bfc2, rparams, double_ffn=double_ffn,
+        n2s, n2b, wfc1, bfc1, wfc2, bfc2, rparams,
+        # the double-FFN quirk only exists in the reference's *patched*
+        # (residual-injected) forward — same gate as the monolithic kernel
+        # and the XLA twin (`src/residual.py:92-96`)
+        double_ffn=double_ffn and use_residual,
         mxu_dtype=mxu_dtype,
     )
     return out.reshape(bnw, n, c)

@@ -205,10 +205,16 @@ def pca_finalize(
         the host is minutes over a slow relay). Runs
         :func:`_randomized_topk_eigh` in one jit and transfers only the top-k
         eigenpairs + mean + exact trace. ``n_components`` defaults to
-        min(256, D) here — 256 matches the component count of the reference's
-        shipped ``pca_results/*.csv`` artifacts. ``explained_variance_ratio``
-        denominators use the exact trace, so ratios/intrinsic-dim/
-        participation-ratio match the dense path for the retained spectrum.
+        min(768, D): the reference's sklearn ``IncrementalPCA(None)`` also
+        truncates (to the FIRST partial_fit batch's row count — its shipped
+        CSVs carry 2048 components for layer-0 heads and 128 elsewhere), and
+        the largest intrinsic dim recorded across its five fold CSVs is 513,
+        so 768 covers every stored 0.99-threshold crossing with headroom.
+        ``explained_variance_ratio`` denominators use the exact trace, so
+        ratios/intrinsic-dim/participation-ratio match the dense path
+        whenever the cumulative ratio crosses the threshold within k (like
+        the reference, an intrinsic dim that would exceed the retained
+        spectrum saturates at k+1).
       * ``"auto"`` — randomized iff D >= 1024.
 
     ``return_components=False`` skips computing/transferring the [k, D]
@@ -220,7 +226,7 @@ def pca_finalize(
         method = "randomized" if d >= 1024 else "dense"
 
     if method == "randomized":
-        k = min(n_components or 256, d)
+        k = min(n_components or 768, d)
         w, comps, mean, trace = _randomized_topk_eigh(
             state.n,
             state.sum,

@@ -198,6 +198,15 @@ def test_clap_module_end_to_end_tiny(tmp_path):
                          compute_dtype=jnp.bfloat16)
         emb16 = m16.get_audio_embedding_from_data(wav)
         assert float(np.min(np.sum(emb * emb16, axis=-1))) > 0.999
+
+        # updated residual params must not hit a stale jit closure: λ-training
+        # updates lam between calls with the same shapes/taps
+        d = m.cfg.audio.embed_dim
+        res_a = {0: {"basis": jnp.eye(d), "mean": jnp.zeros(d), "lam": jnp.ones(d)}}
+        res_b = {0: {"basis": jnp.eye(d), "mean": jnp.zeros(d), "lam": 2.0 * jnp.ones(d)}}
+        out_a = m.get_audio_output_dict(wav, taps=(), residual=res_a)
+        out_b = m.get_audio_output_dict(wav, taps=(), residual=res_b)
+        assert np.abs(np.asarray(out_a["normalized"]) - np.asarray(out_b["normalized"])).max() > 1e-4
     finally:
         HTSAT_VARIANTS.pop("tiny-test")
         fac._CONFIG_DIRS.pop()

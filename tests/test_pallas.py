@@ -109,7 +109,13 @@ def _block_params(rng, c=96, nh=4, hidden=384):
     return blk, flat
 
 
-@pytest.mark.parametrize("use_res,dffn", [(False, False), (True, False), (True, True)])
+@pytest.mark.parametrize(
+    "use_res,dffn",
+    # (False, True) included: double_ffn_compat defaults to True and must be
+    # a no-op without residual injection (the quirk lives in the reference's
+    # PATCHED forward only, `src/residual.py:92-96`)
+    [(False, False), (False, True), (True, False), (True, True)],
+)
 def test_fused_block_matches_twin(rng, use_res, dffn):
     from audio_residual_tpu.ops.pallas import swin_block as fsb
 
@@ -210,10 +216,15 @@ def test_fused_residual_ffn_matches_xla(rng, use_res, dffn):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
 
 
-@pytest.mark.parametrize("dffn", [False, True])
-def test_split_block_matches_twin(rng, dffn):
+@pytest.mark.parametrize(
+    "use_res,dffn",
+    [(False, False), (False, True), (True, False), (True, True)],
+)
+def test_split_block_matches_twin(rng, use_res, dffn):
     """The split plan (attention kernel + chunked FFN kernel) == the XLA twin
-    when the monolithic kernel is forced out of budget."""
+    when the monolithic kernel is forced out of budget. (False, True) guards
+    the default-eval regression: double_ffn_compat=True must not double the
+    FFN on layers without an injected residual."""
     from audio_residual_tpu.ops.pallas import swin_block as fsb
 
     c, nh, g, b = 96, 4, 4, 2
@@ -223,13 +234,13 @@ def test_split_block_matches_twin(rng, dffn):
                "mean": jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.01),
                "lam": jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))}
     x = jnp.asarray(rng.standard_normal((b * g, 64, c)).astype(np.float32) * 0.5)
-    fp = flat + (rparams["basis"], rparams["mean"], rparams["lam"])
-    ref = fsb._xla_twin(x, blk, rparams, nh=nh, window=8, nw=g,
-                        shift=4, resolution=(16, 16), double_ffn=dffn)
+    fp = flat + ((rparams["basis"], rparams["mean"], rparams["lam"]) if use_res else ())
+    ref = fsb._xla_twin(x, blk, rparams if use_res else None, nh=nh, window=8,
+                        nw=g, shift=4, resolution=(16, 16), double_ffn=dffn)
     with mock.patch.object(fsb, "_VMEM_BUDGET", 1), \
          mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
         assert fsb.block_pick_group(g, 64, c, nh, 384) is None
-        got = fsb.fused_swin_block(x, fp, nh, 8, g, 4, (16, 16), True, dffn)
+        got = fsb.fused_swin_block(x, fp, nh, 8, g, 4, (16, 16), use_res, dffn)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
 
 

@@ -174,11 +174,20 @@ def test_timm_adapter_variants(rng):
         assert out.shape == (2, 16)
         assert "proj" not in p["trunk"]  # adapter trunk has no CLIP projection
 
+    # abs_attn + proj='linear': the reference builds the Linear head AFTER
+    # the attention pool too (`timm_model.py:62-65`)
     cfg = VisionCfg(timm_model_name="resnet50", timm_pool="abs_attn")
     init_fn, apply_fn = vision.create_vision_tower(16, cfg)
     p = init_fn(jax.random.PRNGKey(1))
+    assert "head" in p and p["head"]["proj"]["kernel"].shape == (16, 16)
     small = jnp.asarray(rng.standard_normal((1, 224, 224, 3)).astype(np.float32) * 0.1)
     assert apply_fn(p, small).shape == (1, 16)
+    # abs_attn + proj='': pool projection is the output
+    cfg0 = VisionCfg(timm_model_name="resnet50", timm_pool="abs_attn", timm_proj="")
+    init0, apply0 = vision.create_vision_tower(16, cfg0)
+    p0 = init0(jax.random.PRNGKey(1))
+    assert "head" not in p0
+    assert apply0(p0, small).shape == (1, 16)
 
     with pytest.raises(RuntimeError, match="trunk registry"):
         vision.create_vision_tower(16, VisionCfg(timm_model_name="nope"))
@@ -197,6 +206,8 @@ def test_vision_dispatch_and_freeze():
     mask = vision.vision_freeze_mask(p, unlocked_groups=1)
     assert not any(jax.tree.leaves(mask["blocks"][-1]))
     assert all(jax.tree.leaves(mask["blocks"][0]))
+    # the CLIP projection leaf is part of the unlocked head
+    assert mask["proj"] is False and not any(jax.tree.leaves(mask["ln_post"]))
 
     cfg_rn = VisionCfg(layers=(1, 1, 1, 1), width=8, image_size=64)
     init_fn, _ = vision.create_vision_tower(8, cfg_rn)
