@@ -12,7 +12,6 @@ import json
 import pickle
 import re
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
