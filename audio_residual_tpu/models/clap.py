@@ -208,6 +208,7 @@ def encode_text(
     cfg: CLAPConfig = CLAPConfig(),
     *,
     normalize: bool = True,
+    compute_dtype: Any = None,
 ) -> jnp.ndarray:
     """Text branch -> tower feature -> projection (-> L2 normalise),
     dispatched on ``cfg.text_model_type`` (`model.py:602-648`):
@@ -216,11 +217,15 @@ def encode_text(
     * transformer — CLIP tower, EOT-token feature (`model.py:603-616`)
     * bart — **unmasked** mean over ``encoder_last_hidden_state``
       (`model.py:637-645` averages padding positions too)
+
+    ``compute_dtype`` reaches the roberta/bert tower (bf16 MXU inputs, f32
+    accumulate); the transformer/bart towers run f32 regardless.
     """
     t = cfg.text_model_type
     if t in ("roberta", "bert"):
         pooled = roberta_mod.roberta_apply(
-            params["text_branch"], input_ids, attention_mask, cfg.text
+            params["text_branch"], input_ids, attention_mask, cfg.text,
+            compute_dtype=compute_dtype,
         )["pooler_output"]
     elif t == "transformer":
         pooled = clip_text_mod.clip_text_apply(params["text_branch"], input_ids, cfg.text)
@@ -258,7 +263,9 @@ def clap_apply(
         params, audio_batch, cfg, train=train, rng=rng_a, compute_dtype=compute_dtype
     )
     audio_features = audio_out["normalized"]
-    text_features = encode_text(params, input_ids, attention_mask, cfg)
+    text_features = encode_text(
+        params, input_ids, attention_mask, cfg, compute_dtype=compute_dtype
+    )
     extra = {}
     if train and "bn0_state" in audio_out:
         extra["bn0_state"] = audio_out["bn0_state"]

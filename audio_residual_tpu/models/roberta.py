@@ -95,7 +95,13 @@ def _apply_ln(p, x, eps):
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
-def _apply_dense(p, x):
+def _apply_dense(p, x, mxu_dtype=None):
+    """Matmul with optional bf16 MXU inputs and f32 accumulation (the AMP
+    pattern shared with the Pallas kernels: LN/softmax stay f32)."""
+    if mxu_dtype is not None:
+        h = jnp.dot(x.astype(mxu_dtype), p["kernel"].astype(mxu_dtype),
+                    preferred_element_type=jnp.float32)
+        return h + p["bias"]
     return x @ p["kernel"] + p["bias"]
 
 
@@ -113,8 +119,14 @@ def roberta_apply(
     input_ids: jnp.ndarray,
     attention_mask: jnp.ndarray | None = None,
     cfg: RobertaConfig = RobertaConfig(),
+    *,
+    compute_dtype=None,
 ) -> dict:
-    """Returns ``{"last_hidden_state": [B, L, D], "pooler_output": [B, D]}``."""
+    """Returns ``{"last_hidden_state": [B, L, D], "pooler_output": [B, D]}``.
+
+    ``compute_dtype=jnp.bfloat16`` runs the dense/attention matmul inputs in
+    bf16 on the MXU (f32 accumulate; LayerNorm and softmax stay f32) —
+    mirroring the audio branch's AMP mode."""
     if attention_mask is None:
         attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
 
@@ -136,18 +148,27 @@ def roberta_apply(
     nh = cfg.num_heads
     hd = cfg.hidden_size // nh
     b, l, d = x.shape
+    dt = compute_dtype
     for lp in params["layers"]:
         a = lp["attn"]
-        q = _apply_dense(a["q"], x).reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
-        k = _apply_dense(a["k"], x).reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
-        v = _apply_dense(a["v"], x).reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+        q = _apply_dense(a["q"], x, dt).reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+        k = _apply_dense(a["k"], x, dt).reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+        v = _apply_dense(a["v"], x, dt).reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+        if dt is not None:
+            q, k = q.astype(dt), k.astype(dt)
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
         attn = attn / jnp.sqrt(jnp.asarray(hd, attn.dtype)) + bias
-        probs = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, l, d)
-        x = _apply_ln(lp["ln1"], x + _apply_dense(a["out"], ctx), cfg.layer_norm_eps)
-        h = jax.nn.gelu(_apply_dense(lp["mlp"]["fc1"], x), approximate=False)
-        x = _apply_ln(lp["ln2"], x + _apply_dense(lp["mlp"]["fc2"], h), cfg.layer_norm_eps)
+        probs = jax.nn.softmax(attn, axis=-1)
+        if dt is not None:
+            probs, v = probs.astype(dt), v.astype(dt)
+        else:
+            probs = probs.astype(v.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+        x = _apply_ln(lp["ln1"], x + _apply_dense(a["out"], ctx, dt), cfg.layer_norm_eps)
+        h = jax.nn.gelu(_apply_dense(lp["mlp"]["fc1"], x, dt), approximate=False)
+        x = _apply_ln(lp["ln2"], x + _apply_dense(lp["mlp"]["fc2"], h, dt), cfg.layer_norm_eps)
 
-    pooled = jnp.tanh(_apply_dense(params["pooler"], x[:, 0]))
+    pooled = jnp.tanh(_apply_dense(params["pooler"], x[:, 0], dt))
     return {"last_hidden_state": x, "pooler_output": pooled}

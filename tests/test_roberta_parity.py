@@ -65,6 +65,21 @@ def test_pooler_and_hidden_parity(pair):
     )
 
 
+def test_bf16_amp_mode_close_to_f32(pair):
+    """compute_dtype=bf16 (clap_apply's AMP reaching the text tower) stays
+    within bf16-mantissa error of the f32 tower."""
+    _, params, cfg = pair
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(2, 100, size=(3, 10)).astype(np.int64))
+    f32 = roberta.roberta_apply(params, ids, None, cfg)["pooler_output"]
+    b16 = roberta.roberta_apply(params, ids, None, cfg, compute_dtype=jnp.bfloat16)[
+        "pooler_output"
+    ]
+    a, b = np.asarray(f32), np.asarray(b16)
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.999, cos
+
+
 def test_position_ids_match_hf(pair):
     from transformers.models.roberta.modeling_roberta import (
         create_position_ids_from_input_ids,
