@@ -18,6 +18,11 @@ Stages (the SKILL.md "flows worth driving"):
   3. ResiDual injection from the reference's shipped PCA pickles
      (identity-basis probe, single-FFN semantics == baseline)
   4. λ-only training step: grad finite and nonzero
+  5. compiled fused-kernel parity vs the highest-precision XLA twin
+     (layer-0 monolithic + layer-3 split plan, real Mosaic)
+  6. other model families on chip: CLAP-level PANN branch + vision towers
+  7. contrastive train-step throughput (full CLAP fwd+bwd+adamw, bf16,
+     scan-amortized)
 """
 
 from __future__ import annotations
