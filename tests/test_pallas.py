@@ -244,6 +244,38 @@ def test_split_block_matches_twin(rng, use_res, dffn):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "c,nh,hidden,fused",
+    [
+        (128, 4, 512, True),      # HTSAT-base layer 0 (hd=32)
+        (256, 4, 1024, True),     # HTSAT-large layer 0 (hd=64)
+        # base/large layer 3: the qkv weight matrix alone (c*3c*4 >= 12.6 MB
+        # at c=1024) exceeds the W-MSA kernel's VMEM budget, so these layers
+        # run the XLA block (correct, unfused) — pin that dispatch.
+        (1024, 32, 4096, False),
+        (2048, 32, 8192, False),
+    ],
+)
+def test_fused_block_base_large_shapes(rng, c, nh, hidden, fused):
+    """Base/large model-family layer shapes — head dims and widths the
+    tiny-config tests never exercise. Where the kernels support the shape,
+    parity; where weights exceed VMEM, the support predicate must say so
+    (the model then takes the XLA path)."""
+    from audio_residual_tpu.ops.pallas import swin_block as fsb
+
+    nw, res = 4, (16, 16)
+    blk, flat = _block_params(rng, c, nh, hidden)
+    assert fsb.block_supports(nw, 64, c, nh, hidden) == fused
+    if not fused:
+        return
+    x = jnp.asarray(rng.standard_normal((1 * nw, 64, c)).astype(np.float32) * 0.5)
+    ref = fsb._xla_twin(x, blk, None, nh=nh, window=8, nw=nw, shift=4,
+                        resolution=res, double_ffn=False)
+    with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        got = fsb.fused_swin_block(x, flat, nh, 8, nw, 4, res, False, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
 def test_fused_block_bf16_mxu(rng):
     """``mxu_dtype=bfloat16`` (the TPU analog of the reference's AMP
     inference) keeps the block's output within bf16-mantissa error of the
