@@ -382,7 +382,8 @@ def swin_block(
 
         nw_img = (h // window) * (w // window)
         hidden = p["mlp"]["fc1"]["kernel"].shape[1]
-        if fsb.block_supports(nw_img, window * window, c, nh, hidden):
+        k_res = residual_params["basis"].shape[0] if residual_params is not None else 0
+        if fsb.block_supports(nw_img, window * window, c, nh, hidden, k_res):
             y = x.reshape(b, h, w, c)
             if shift > 0:
                 y = jnp.roll(y, (-shift, -shift), axis=(1, 2))

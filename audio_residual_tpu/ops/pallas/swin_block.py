@@ -63,21 +63,27 @@ def block_pick_group(nw: int, n: int, c: int, nh: int, hidden: int) -> int | Non
     return None
 
 
-def _split_plan_supports(nw: int, n: int, c: int, nh: int, hidden: int) -> bool:
-    """Two-kernel fallback for weight-bound layers (HTSAT layer 3, 768-wide
-    MLP): fused W-MSA kernel + hidden-chunked fused FFN kernel. Activations
-    at those depths are tiny (one 64-token window/image), so the HBM hop
-    between the kernels is negligible; the MLP weights stream chunk-wise."""
+def _split_plan_supports(nw: int, n: int, c: int, nh: int, hidden: int,
+                         k_res: int | None = None) -> bool:
+    """Two-kernel fallback for weight-bound layers (HTSAT layer 3+, wide
+    MLPs): fused W-MSA kernel (weight-streaming variant for c >= 1024) +
+    hidden-chunked fused FFN kernel. Activations at those depths are tiny
+    (one 64-token window/image), so the HBM hop between the kernels is
+    negligible; the weights stream chunk-wise. ``k_res`` is the injected
+    ResiDual basis row count (its [K, C] block must fit VMEM whole);
+    ``None`` assumes the full-C worst case."""
     from audio_residual_tpu.ops.pallas import ln_mlp
     from audio_residual_tpu.ops.pallas import window_attention as fwa
 
-    return fwa.supports(nw, n, c, nh) and ln_mlp.ffn_plan(n, c, hidden, c) is not None
+    kr = c if k_res is None else k_res
+    return fwa.supports(nw, n, c, nh) and ln_mlp.ffn_plan(n, c, hidden, kr) is not None
 
 
-def block_supports(nw: int, n: int, c: int, nh: int, hidden: int) -> bool:
+def block_supports(nw: int, n: int, c: int, nh: int, hidden: int,
+                   k_res: int | None = None) -> bool:
     if block_pick_group(nw, n, c, nh, hidden) is not None:
         return True
-    return _split_plan_supports(nw, n, c, nh, hidden)
+    return _split_plan_supports(nw, n, c, nh, hidden, k_res)
 
 
 # shared numeric core (ops/pallas/common.py) under the historical local names
@@ -213,7 +219,8 @@ def fused_swin_block(
     hidden = wfc1.shape[1]
     g = block_pick_group(nw, n, c, nh, hidden)
     if g is None:
-        if not _split_plan_supports(nw, n, c, nh, hidden):
+        k_res = res[0].shape[0] if use_residual else 0
+        if not _split_plan_supports(nw, n, c, nh, hidden, k_res):
             raise ValueError("block does not fit VMEM")
         return _split_block(x, flat_params, nh, window, nw, shift, resolution,
                             use_residual, double_ffn, mxu_dtype)

@@ -57,8 +57,48 @@ def pick_group(num_windows_per_image: int, n: int, c: int, nh: int) -> int | Non
     return None
 
 
+def wide_plan(
+    num_windows_per_image: int, n: int, c: int, nh: int
+) -> tuple[int, int, int] | None:
+    """Plan for the weight-streaming variant (wide c, where wqkv/wproj no
+    longer fit VMEM whole): ``(g, qc, pc)`` — window group, qkv-column chunk,
+    proj-column chunk. Chunks are 128-lane multiples, divide ``c`` (so no
+    chunk straddles the q/k/v segment boundaries), and ``qc`` is a multiple
+    of the head dim (head slices stay inside one chunk)."""
+    hd = c // nh
+    g = num_windows_per_image
+    while g >= 1:
+        if num_windows_per_image % g == 0:
+            for qc in (512, 256, 128):
+                if c % qc or qc % hd or qc % 128:
+                    continue
+                for pc in (512, 256, 128):
+                    if c % pc or pc % 128:
+                        continue
+                    if _wide_vmem_need(g, n, c, nh, qc, pc) < _VMEM_BUDGET:
+                        return g, qc, pc
+        g //= 2
+    return None
+
+
+def _wide_vmem_need(g: int, n: int, c: int, nh: int, qc: int, pc: int) -> int:
+    f32 = 4
+    return (
+        g * n * c * f32  # y block
+        + 3 * g * n * c * f32  # qkv scratch ([KA, g*n, qc] == 3*g*n*c total)
+        + g * n * c * f32  # attention-output scratch
+        + g * n * pc * f32  # out block
+        + 2 * (c * qc + c * pc) * f32  # weight chunks, double-buffered
+        + 2 * g * n * n * f32  # one head's scores + probs at a time
+        + (nh + g) * n * n * f32  # bias + mask blocks
+    )
+
+
 def supports(num_windows_per_image: int, n: int, c: int, nh: int) -> bool:
-    return pick_group(num_windows_per_image, n, c, nh) is not None
+    return (
+        pick_group(num_windows_per_image, n, c, nh) is not None
+        or wide_plan(num_windows_per_image, n, c, nh) is not None
+    )
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref, o_ref,
@@ -123,6 +163,99 @@ def _xla_reference(x, wqkv, bqkv, wproj, bproj, rel_bias_table, *, nh, window,
     return (o @ wproj + bproj).reshape(bnw, n, c)
 
 
+def _wide_kernel(y_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+                 mask_ref, o_ref, qkv_scr, a_scr,
+                 *, g, n, c, nh, scale, ka, mxu_dtype=None):
+    """Weight-streaming W-MSA: the grid's last axis runs three phases per
+    window group — (A) ``ka`` steps accumulating the qkv projection one
+    weight-column chunk at a time into scratch, (B) one step of per-head
+    attention (activations are small even at c=2048: [g*n, 3c] scratch),
+    (C) proj-column chunks writing the output block-wise. wqkv/wproj never
+    reside in VMEM whole — the reason wide layers (base/large layer 2-3,
+    c >= 1024: wqkv alone is >= 12.6 MB) can't use the monolithic kernel."""
+    k = pl.program_id(2)
+    hd = c // nh
+    qc = qkv_scr.shape[-1]
+
+    def dot(a, b):
+        if mxu_dtype is not None:
+            a, b = a.astype(mxu_dtype), b.astype(mxu_dtype)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def bdot(a, b, dims):
+        if mxu_dtype is not None:
+            a, b = a.astype(mxu_dtype), b.astype(mxu_dtype)
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+
+    @pl.when(k < ka)
+    def _qkv_phase():
+        x = y_ref[:].reshape(g * n, c)
+        qkv_scr[k] = dot(x, wqkv_ref[:]) + bqkv_ref[0]
+
+    @pl.when(k == ka)
+    def _attn_phase():
+        mask = mask_ref[:]
+        for h in range(nh):
+            def seg(s, h=h):  # s: 0=q 1=k 2=v -> [g, n, hd] slice of scratch
+                ci, off = divmod(s * c + h * hd, qc)
+                return qkv_scr[ci][:, off : off + hd].reshape(g, n, hd)
+
+            qh = seg(0) * scale
+            s_ = bdot(qh, seg(1), (((2,), (2,)), ((0,), (0,))))
+            s_ = s_ + bias_ref[h] + mask
+            s_ = s_ - jnp.max(s_, axis=-1, keepdims=True)
+            e = jnp.exp(s_)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            oh = bdot(probs, seg(2), (((2,), (1,)), ((0,), (0,))))
+            a_scr[:, h * hd : (h + 1) * hd] = oh.reshape(g * n, hd)
+
+    @pl.when(k > ka)
+    def _proj_phase():
+        pc = o_ref.shape[-1]
+        o_ref[:] = (dot(a_scr[:], wproj_ref[:]) + bproj_ref[0]).reshape(g, n, pc)
+
+
+def _wide_attention(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                    *, nw, n, c, nh, scale, plan, mxu_dtype):
+    g, qc, pc = plan
+    bnw = x.shape[0]
+    b = bnw // nw
+    groups = nw // g
+    ka = 3 * c // qc
+    kc = c // pc
+    n_k = ka + 1 + kc
+    kernel = functools.partial(_wide_kernel, g=g, n=n, c=c, nh=nh,
+                               scale=scale, ka=ka, mxu_dtype=mxu_dtype)
+    qidx = lambda i, j, k: (0, jnp.minimum(k, ka - 1))  # noqa: E731
+    pidx = lambda i, j, k: (0, jnp.clip(k - ka - 1, 0, kc - 1))  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(b, groups, n_k),
+        in_specs=[
+            pl.BlockSpec((g, n, c), lambda i, j, k: (i * (nw // g) + j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, qc), qidx, memory_space=pltpu.VMEM),
+            # biases as [1, width] rows: 1-D buffers need constant index maps
+            pl.BlockSpec((1, qc), qidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, pc), pidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pc), pidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, n, n), lambda i, j, k: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, n), lambda i, j, k: (j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (g, n, pc),
+            lambda i, j, k: (i * (nw // g) + j, 0, jnp.clip(k - ka - 1, 0, kc - 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bnw, n, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ka, g * n, qc), jnp.float32),
+            pltpu.VMEM((g * n, c), jnp.float32),
+        ],
+    )(x.astype(jnp.float32), wqkv, bqkv.reshape(1, 3 * c), wproj,
+      bproj.reshape(1, c), bias, mask)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
 )
@@ -151,8 +284,6 @@ def fused_window_attention(
     nw = num_windows_per_image
     b = bnw // nw
     g = pick_group(nw, n, c, nh)
-    if g is None:
-        raise ValueError("window-attention block does not fit VMEM; use the XLA path")
     scale = (c // nh) ** -0.5
 
     bias = win_ops.gather_relative_bias(rel_bias_table, window, window)  # [nh, n, n]
@@ -160,6 +291,15 @@ def fused_window_attention(
         mask = jnp.asarray(win_ops.shift_window_mask(*resolution, window, shift))
     else:
         mask = jnp.zeros((nw, n, n), jnp.float32)
+
+    if g is None:
+        plan = wide_plan(nw, n, c, nh)
+        if plan is None:
+            raise ValueError("window-attention block does not fit VMEM; use the XLA path")
+        return _wide_attention(
+            x, wqkv, bqkv, wproj, bproj, bias, mask,
+            nw=nw, n=n, c=c, nh=nh, scale=scale, plan=plan, mxu_dtype=mxu_dtype,
+        )
 
     groups = nw // g
     kernel = functools.partial(_kernel, g=g, n=n, c=c, nh=nh, scale=scale,

@@ -163,6 +163,8 @@ def main() -> int:
         for tag, (c, nh, hidden, nw_, res_) in {
             "layer0": (96, 4, 384, 64, (64, 64)),
             "layer3_split": (768, 32, 3072, 1, (8, 8)),
+            # base/large wide layer: weight-streaming W-MSA kernel path
+            "wide_l3": (1024, 32, 4096, 1, (8, 8)),
         }.items():
             r = np.random.default_rng(1)
             d = lambda shape, s=0.05: jnp.asarray(  # noqa: E731

@@ -245,29 +245,29 @@ def test_split_block_matches_twin(rng, use_res, dffn):
 
 
 @pytest.mark.parametrize(
-    "c,nh,hidden,fused",
+    "c,nh,hidden",
     [
-        (128, 4, 512, True),      # HTSAT-base layer 0 (hd=32)
-        (256, 4, 1024, True),     # HTSAT-large layer 0 (hd=64)
-        # base/large layer 3: the qkv weight matrix alone (c*3c*4 >= 12.6 MB
-        # at c=1024) exceeds the W-MSA kernel's VMEM budget, so these layers
-        # run the XLA block (correct, unfused) — pin that dispatch.
-        (1024, 32, 4096, False),
-        (2048, 32, 8192, False),
+        (128, 4, 512),     # HTSAT-base layer 0 (hd=32), monolithic kernel
+        (256, 4, 1024),    # HTSAT-large layer 0 (hd=64)
+        # base/large layers 2-3 (c >= 1024): wqkv alone is >= 12.6 MB, so
+        # the split plan routes attention through the weight-streaming wide
+        # kernel + the hidden-chunked FFN kernel
+        (1024, 32, 4096),
+        (2048, 32, 8192),
     ],
 )
-def test_fused_block_base_large_shapes(rng, c, nh, hidden, fused):
+def test_fused_block_base_large_shapes(rng, c, nh, hidden):
     """Base/large model-family layer shapes — head dims and widths the
-    tiny-config tests never exercise. Where the kernels support the shape,
-    parity; where weights exceed VMEM, the support predicate must say so
-    (the model then takes the XLA path)."""
+    tiny-config tests never exercise; c >= 1024 exercises the
+    weight-streaming wide attention kernel."""
     from audio_residual_tpu.ops.pallas import swin_block as fsb
+    from audio_residual_tpu.ops.pallas import window_attention as fwa
 
     nw, res = 4, (16, 16)
     blk, flat = _block_params(rng, c, nh, hidden)
-    assert fsb.block_supports(nw, 64, c, nh, hidden) == fused
-    if not fused:
-        return
+    assert fsb.block_supports(nw, 64, c, nh, hidden, 0)
+    if fwa.pick_group(nw, 64, c, nh) is None:
+        assert fwa.wide_plan(nw, 64, c, nh) is not None
     x = jnp.asarray(rng.standard_normal((1 * nw, 64, c)).astype(np.float32) * 0.5)
     ref = fsb._xla_twin(x, blk, None, nh=nh, window=8, nw=nw, shift=4,
                         resolution=res, double_ffn=False)
