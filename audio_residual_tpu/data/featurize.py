@@ -71,9 +71,10 @@ def featurize_batch(
     per-dataset common case — ESC-50 is always 240000).
 
     ``rand_trunc`` crops at random positions like the reference
-    (`data.py:465-468`); pass ``rng`` to vary crops across calls (the
-    jitted train/eval loops fold the step index in). With ``rng=None`` a
-    fixed seed keeps the crop random-positioned but reproducible.
+    (`data.py:465-468`); pass ``rng`` to vary crops across calls — the
+    ResiDual train step folds a per-step rng in (`train_residual.py`),
+    while eval paths pass ``rng=None`` so a fixed seed keeps the crop
+    random-positioned but deterministic across runs.
     """
     b, t = wav.shape
     if t > max_len:

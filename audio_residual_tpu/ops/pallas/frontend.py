@@ -139,6 +139,10 @@ def fused_logmel(
     nf_pad = -(-nf // blk) * blk
     overhang = -(-(k - 1) // 8) * 8  # DMA windows need 8-row alignment
     rows_needed = nf_pad + overhang
+    # rows_needed*hop can fall short of the padded signal when hop ~ n_fft
+    # and nf is already blk-aligned (no shipped config, but FrontendConfig
+    # permits it); round UP so the reshape always covers the signal
+    rows_needed = max(rows_needed, -(-x.shape[1] // hop))
     x = jnp.pad(x, ((0, 0), (0, rows_needed * hop - x.shape[1])))
     rows = x.reshape(b, rows_needed, hop)
     # DMA windows also need 128-lane alignment on the minor dim: pad each

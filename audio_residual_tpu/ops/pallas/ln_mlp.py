@@ -36,9 +36,10 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 def _vmem_need(r: int, c: int, hc: int, k_res: int) -> int:
     f32 = 4
     return (
-        3 * r * c * f32  # x + a/o + z scratch
+        4 * r * c * f32  # x, a, out blocks + z scratch (all resident at once)
         + 2 * (2 * c * hc) * f32  # fc1+fc2 chunks, double-buffered
         + r * hc * f32  # hidden activation chunk
+        + hc * f32  # bfc1 [1, hc] block
         + (k_res * c + c + k_res) * f32  # ResiDual basis/mean/lam
         + 4 * c * f32  # norm scale/bias + fc biases
     )

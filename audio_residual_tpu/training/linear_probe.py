@@ -88,8 +88,20 @@ def train_linear_head(
     batch_size: int = 64,
     mlp: bool = False,
     loss_kind: str = "ce",
+    mixup_alpha: float = 0.0,
 ) -> tuple[dict, list[dict]]:
-    """AdamW on the head only (`src/linear.py:68-74`)."""
+    """AdamW on the head only (`src/linear.py:68-74`).
+
+    ``mixup_alpha`` > 0 enables the ``--mixup`` augmentation of the
+    reference LP loop (`lp_train.py:86-91`, fixed alpha 0.5 there): labels
+    are softened with ``do_mixup`` exactly as the reference does. The input
+    side is mixed on the cached *embeddings* rather than the waveform — the
+    embed-once frozen-encoder cache (this module's TPU-native design)
+    precludes re-encoding mixed waveforms each step; this is the
+    manifold-mixup variant of the same regulariser.
+    """
+    from audio_residual_tpu.utils.misc import do_mixup, get_mix_lambda
+
     head = init_linear_head(key, feats.shape[-1], n_classes, mlp=mlp)
     optimizer = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = optimizer.init(head)
@@ -105,13 +117,22 @@ def train_linear_head(
 
     n = feats.shape[0]
     rng = np.random.default_rng(0)
+    labels_soft = labels
+    if mixup_alpha and labels.ndim == 1:  # int labels -> one-hot for mixing
+        labels_soft = np.eye(n_classes, dtype=np.float32)[labels]
     history = []
     for e in range(epochs):
         perm = rng.permutation(n)
         total = 0.0
         for i in range(0, n, batch_size):
             idx = perm[i : i + batch_size]
-            head, opt_state, loss = step(head, opt_state, jnp.asarray(feats[idx]), jnp.asarray(labels[idx]))
+            x = jnp.asarray(feats[idx])
+            y = jnp.asarray(labels_soft[idx])
+            if mixup_alpha:
+                lam = jnp.asarray(get_mix_lambda(mixup_alpha, len(idx), rng))
+                x = do_mixup(x, lam)
+                y = do_mixup(y, lam)
+            head, opt_state, loss = step(head, opt_state, x, y)
             total += float(loss) * len(idx)
         history.append({"epoch": e, "train_loss": total / n})
     return head, history

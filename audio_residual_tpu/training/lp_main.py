@@ -57,6 +57,8 @@ def main(argv=None) -> dict:
             jax.random.PRNGKey(args.seed + i), tr_x, tr_y, n_classes,
             epochs=args.epochs, lr=args.lp_lr, mlp=args.lp_mlp,
             loss_kind=args.lp_loss,
+            # reference lp_train.py:87 hard-codes alpha 0.5 under --mixup
+            mixup_alpha=0.5 if args.mixup else 0.0,
         )
         preds, targets, sims = eval_linear_head(head, va_x, va_y)
         m = lp_metrics(sims, targets, metrics=wanted)

@@ -106,7 +106,12 @@ def parse_args(args=None) -> argparse.Namespace:
     # eval
     p.add_argument("--val-frequency", type=int, default=1)
     p.add_argument("--zeroshot-frequency", type=int, default=2)
-    p.add_argument("--parallel-eval", action="store_true", default=False)
+    p.add_argument("--parallel-eval", action="store_true", default=False,
+                   help="subsumed by GSPMD: eval batches are sharded over "
+                        "the same data mesh as training, so every device "
+                        "already embeds its shard and similarity matrices "
+                        "are computed on globally-sharded features (the "
+                        "reference's explicit all_gather, train.py:355-388)")
     p.add_argument("--no-eval", action="store_true", default=False)
     p.add_argument("--top-k-checkpoint-select-dataset", type=str, default="all")
     p.add_argument("--top-k-checkpoint-select-metric", type=str, default="_R@10")
@@ -152,6 +157,13 @@ def parse_args(args=None) -> argparse.Namespace:
             "--horovod has no effect: this framework runs one process per "
             "host with XLA collectives over the device mesh (the reference's "
             "Horovod path, distributed.py:70-88, is subsumed by pjit DP)"
+        )
+    if ns.parallel_eval:
+        logging.warning(
+            "--parallel-eval is subsumed by GSPMD sharding: eval features "
+            "are computed on batch-sharded devices and consumed without an "
+            "explicit all_gather (reference train.py:355-388); the flag is "
+            "accepted for script compatibility only"
         )
     if ns.dist_backend != "nccl":
         logging.warning(

@@ -80,12 +80,15 @@ def make_zero_shot_step(
     then starts at the first injected layer (SURVEY.md hard part #6; the
     reference re-ran the whole frozen encoder every epoch)."""
 
-    def loss_fn(lam, wav, labels):
+    def loss_fn(lam, wav, labels, rng=None):
         residual = _merge_residual(lam, frozen_residual)
         if tokens_input:
             batch = {"tokens": wav}
         else:
-            batch = featurize_batch(wav, max_len)
+            # rng varies rand_trunc crops across steps on >max_len datasets
+            # (`data.py:465-468` crops fresh per epoch); None = fixed crop,
+            # the deterministic-eval behaviour
+            batch = featurize_batch(wav, max_len, rng=rng)
         out = clap_mod.encode_audio(
             params, batch, cfg, residual=residual,
             double_ffn_compat=double_ffn_compat, compute_dtype=compute_dtype,
@@ -98,8 +101,10 @@ def make_zero_shot_step(
         return loss, correct
 
     @jax.jit
-    def step(lam, opt_state, wav, labels):
-        (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(lam, wav, labels)
+    def step(lam, opt_state, wav, labels, rng=None):
+        (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            lam, wav, labels, rng
+        )
         updates, opt_state = optimizer.update(grads, opt_state, lam)
         lam = optax.apply_updates(lam, updates)
         return lam, opt_state, loss, correct
@@ -142,6 +147,7 @@ def train_residual(
     double_ffn_compat: bool = True,
     log_fn: Callable[[dict], None] | None = None,
     cache_prefix: bool = False,
+    seed: int = 0,
 ) -> tuple[dict, list[dict]]:
     """Train λ (`src/training.py:12-41` + Adam as `evaluation.py:54`).
 
@@ -149,6 +155,8 @@ def train_residual(
     Returns the trained residual dict and the per-epoch history.
     ``cache_prefix=True`` precomputes the frozen encoder prefix below the
     first injected layer once (big speedup for late-layer injection sweeps).
+    A per-step rng (folded from ``seed``) reaches featurization, so
+    ``rand_trunc`` crops differ across steps on >max_len datasets.
     """
     lam, frozen = _split_residual(residual)
     optimizer = optax.adam(lr)
@@ -164,12 +172,16 @@ def train_residual(
         start_layer=start_layer, tokens_input=cache_prefix,
     )
     history = []
+    base_rng = jax.random.PRNGKey(seed)
+    global_step = 0
     for e in range(epochs):
         total_loss, correct, total = 0.0, 0, 0
         for wav, labels in train_batches():
             wav = jnp.asarray(wav)
             labels = jnp.asarray(labels)
-            lam, opt_state, loss, c = step(lam, opt_state, wav, labels)
+            srng = None if cache_prefix else jax.random.fold_in(base_rng, global_step)
+            lam, opt_state, loss, c = step(lam, opt_state, wav, labels, rng=srng)
+            global_step += 1
             bs = wav.shape[0]
             total_loss += float(loss) * bs
             correct += int(c)

@@ -62,7 +62,9 @@ def measure_throughput(forward, example, *, iters: int = 10, batch_axis: int = 0
     }
 
 
-def htsat_flops_per_clip(cfg, clip_samples: int | None = None) -> float:
+def htsat_flops_per_clip(
+    cfg, clip_samples: int | None = None, *, pallas_frontend: bool = True
+) -> float:
     """Analytical forward FLOPs for one clip through the zero-shot path
     (frontend + HTSAT + audio projection), counting multiply-adds as 2 FLOPs.
 
@@ -71,11 +73,22 @@ def htsat_flops_per_clip(cfg, clip_samples: int | None = None) -> float:
     most of the math. Elementwise ops (norms, gelu, softmax, bicubic
     interpolation) are omitted — they are <2% of the matmul/conv total — so
     treat this as a slight lower bound.
+
+    ``pallas_frontend`` (default, the bench's path) counts only the
+    mel-active FFT bins the fused kernel actually computes
+    (`ops/frontend.py::mel_active_bins`); pass False for the full-bin XLA
+    reference frontend so the MFU numerator always matches the executed math.
     """
     t = clip_samples if clip_samples is not None else cfg.clip_samples
     n_fft, hop = cfg.n_fft, cfg.hop_size
     frames = (t + 2 * (n_fft // 2) - n_fft) // hop + 1
-    bins = n_fft // 2 + 1
+    if pallas_frontend:
+        from audio_residual_tpu.ops import frontend as _fe
+
+        lo, hi = _fe.mel_active_bins(cfg.frontend_config)
+        bins = hi - lo
+    else:
+        bins = n_fft // 2 + 1
     f = 0.0
     # STFT as two dense [n_fft -> bins] matmuls (ops/frontend.py)
     f += frames * 2 * 2 * n_fft * bins

@@ -199,6 +199,62 @@ def test_cached_prefix_training_matches_full(setup):
     np.testing.assert_allclose(h1[0]["train_loss"], h2[0]["train_loss"], rtol=1e-4)
 
 
+def test_rand_trunc_crops_vary_across_train_steps(setup):
+    """The train step's per-step rng reaches featurization: on a >max_len
+    batch, rand_trunc crops (and hence losses) differ between steps, while
+    rng=None stays deterministic — the eval behaviour
+    (`data.py:465-468` crops fresh per step in the reference loader)."""
+    from audio_residual_tpu.data.featurize import featurize_batch
+
+    params, text_embeds, make_batches = setup
+    residual = _residual_for_layer0(params)
+    lam, frozen = train_residual._split_residual(residual)
+    import optax
+
+    optimizer = optax.adam(0.01)
+    _, loss_fn = train_residual.make_zero_shot_step(
+        params, CFG, text_embeds, frozen, optimizer, max_len=MAX_LEN
+    )
+    r = np.random.default_rng(0)
+    wav = jnp.asarray((r.standard_normal((2, MAX_LEN * 2)) * 0.1).astype(np.float32))
+    labels = jnp.asarray(r.integers(0, N_CLASSES, 2))
+    base = jax.random.PRNGKey(0)
+    l0, _ = loss_fn(lam, wav, labels, jax.random.fold_in(base, 0))
+    l1, _ = loss_fn(lam, wav, labels, jax.random.fold_in(base, 1))
+    assert float(l0) != float(l1)  # different steps -> different crops
+    l0b, _ = loss_fn(lam, wav, labels, jax.random.fold_in(base, 0))
+    assert float(l0) == float(l0b)  # same step rng -> same crop
+    ln_a, _ = loss_fn(lam, wav, labels, None)
+    ln_b, _ = loss_fn(lam, wav, labels, None)
+    assert float(ln_a) == float(ln_b)  # eval: deterministic
+    # and at the featurize level: the crops themselves differ
+    c0 = featurize_batch(wav, MAX_LEN, rng=jax.random.fold_in(base, 0))["waveform"]
+    c1 = featurize_batch(wav, MAX_LEN, rng=jax.random.fold_in(base, 1))["waveform"]
+    assert not np.array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_lp_mixup_trains_and_regularises():
+    """LP-path mixup (`lp_train.py:86-91`): soft labels via do_mixup, loss
+    stays finite, the trained head differs from the no-mixup head, and the
+    easy separable problem is still learned."""
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((3, 16)) * 3
+    y = rng.integers(0, 3, 300)
+    x = (centers[y] + rng.standard_normal((300, 16)) * 0.1).astype(np.float32)
+    head_mix, hist_mix = linear_probe.train_linear_head(
+        jax.random.PRNGKey(0), x, y, 3, epochs=30, lr=5e-2, mixup_alpha=0.5
+    )
+    head_plain, _ = linear_probe.train_linear_head(
+        jax.random.PRNGKey(0), x, y, 3, epochs=30, lr=5e-2
+    )
+    assert all(np.isfinite(h["train_loss"]) for h in hist_mix)
+    assert not np.allclose(
+        np.asarray(head_mix["out"]["kernel"]), np.asarray(head_plain["out"]["kernel"])
+    )
+    preds, _, _ = linear_probe.eval_linear_head(head_mix, x, y)
+    assert (preds == y).mean() > 0.95
+
+
 def test_visualize_eval_metrics_and_heatmap(tmp_path, rng):
     """`src/evaluation.py:132-198` equivalent: per-fold npz schema, cross-fold
     metrics, and the confusion-heatmap figure file (headless render)."""
