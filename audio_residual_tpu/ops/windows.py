@@ -90,5 +90,7 @@ def gather_relative_bias(table: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
     """``table [(2wh-1)*(2ww-1), nH] -> bias [nH, wh*ww, wh*ww]``."""
     idx = jnp.asarray(relative_position_index(wh, ww).reshape(-1))
     n = wh * ww
-    bias = table[idx].reshape(n, n, -1)
+    # jnp.take (not table[idx]): a numpy-leaf params pytree closed over
+    # under jit would otherwise fancy-index numpy-side with a tracer
+    bias = jnp.take(jnp.asarray(table), idx, axis=0).reshape(n, n, -1)
     return bias.transpose(2, 0, 1)

@@ -262,6 +262,183 @@ def load_jax_params_into_reference_clap(model: nn.Module, params: dict) -> None:
     assert not unexpected, f"unexpected keys: {unexpected}"
 
 
+def _install_research_shims():
+    """Shims needed to import the reference's `src/` research layer verbatim.
+
+    The real deps are either offline-hostile (`wandb`) or absent in this
+    image (`librosa`, `torchaudio`, `webdataset` — pulled in transitively by
+    `data_processing.processing`). The shims carry ONLY what module import
+    touches; any actual use raises.
+    """
+    import importlib.machinery
+
+    if "wandb" not in sys.modules:
+        wandb = types.ModuleType("wandb")
+        wandb.__spec__ = importlib.machinery.ModuleSpec("wandb", loader=None)
+
+        class _Run:
+            name = "stub"
+            summary: dict = {}
+
+        wandb.run = _Run()
+        wandb.init = lambda *a, **k: None
+        wandb.log = lambda *a, **k: None
+        wandb.finish = lambda *a, **k: None
+        wandb.Histogram = lambda *a, **k: None
+        sys.modules["wandb"] = wandb
+    import importlib.machinery
+
+    for name in ("librosa", "torchaudio", "torchaudio.transforms"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            # a real ModuleSpec so importlib.util.find_spec (transformers'
+            # dependency probing) doesn't raise on __spec__ is None
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod
+    if not hasattr(sys.modules["torchaudio"], "transforms"):
+        sys.modules["torchaudio"].transforms = sys.modules["torchaudio.transforms"]
+
+
+def _ref_get_audio_features(sample, audio_data, max_len, data_truncating,
+                            data_filling, audio_cfg, require_grad=False):
+    """Torch `get_audio_features` with the reference's exact non-fusion
+    semantics (`training/data.py:402-506`) for the research-loop oracle.
+
+    The real function's module (`data.py`) is un-importable offline (it
+    downloads three HF tokenizers at import time and needs webdataset/wget);
+    this mirror covers the paths the `src/` loops exercise — repeatpad /
+    pad / repeat fill and the rand_trunc marker. Fusion asserts out: the
+    research loops run non-fusion HTSAT-tiny only.
+    """
+    import contextlib
+
+    import torch.nn.functional as F
+
+    grad_fn = contextlib.suppress if require_grad else torch.no_grad
+    with grad_fn():
+        if len(audio_data) > max_len:
+            assert data_truncating == "rand_trunc", "oracle shim: non-fusion only"
+            longer = torch.tensor([True])
+            overflow = len(audio_data) - max_len
+            # reference data.py:467 calls np.random.integers (an
+            # AttributeError at runtime — SURVEY §2.2 landmine); the intended
+            # randint is used here, as in our featurize mirror
+            idx = np.random.randint(0, overflow + 1)
+            audio_data = audio_data[idx : idx + max_len]
+        else:
+            if len(audio_data) < max_len:
+                if data_filling == "repeatpad":
+                    n_repeat = int(max_len / len(audio_data))
+                    audio_data = audio_data.repeat(n_repeat)
+                    audio_data = F.pad(audio_data, (0, max_len - len(audio_data)))
+                elif data_filling == "pad":
+                    audio_data = F.pad(audio_data, (0, max_len - len(audio_data)))
+                elif data_filling == "repeat":
+                    n_repeat = int(max_len / len(audio_data))
+                    audio_data = audio_data.repeat(n_repeat + 1)[:max_len]
+                else:
+                    raise NotImplementedError(data_filling)
+            longer = torch.tensor([False])
+    sample["longer"] = longer
+    sample["waveform"] = audio_data
+    return sample
+
+
+def load_ref_research():
+    """Import `/root/reference/src/` (the L4 research layer) verbatim as
+    package ``src``, with its `CLAP` / `data_processing` imports satisfied.
+
+    `CLAP` resolves to a shim module exposing the three symbols the research
+    code imports from it (`get_audio_features`, `int16_to_float32`,
+    `float32_to_int16` — `CLAP/__init__.py:1`); `data_processing` resolves
+    to a stub carrying the real `DATASETS` registry (re-read from
+    `download_utils.py`, whose siblings need torchaudio/librosa).
+    Returns the loaded ``src`` package.
+    """
+    if "src" in sys.modules and getattr(sys.modules["src"], "_ref_oracle", False):
+        return sys.modules["src"]
+    _install_shims()
+    _install_research_shims()
+
+    clap_shim = types.ModuleType("CLAP")
+    clap_shim.get_audio_features = _ref_get_audio_features
+    clap_shim.int16_to_float32 = lambda x: (x / 32767.0).astype("float32")
+
+    def float32_to_int16(x):
+        x = np.clip(x, a_min=-1.0, a_max=1.0)
+        return (x * 32767.0).astype("int16")
+
+    clap_shim.float32_to_int16 = float32_to_int16
+    sys.modules["CLAP"] = clap_shim
+
+    # data_processing: only DATASETS is touched by src/evaluation.py; load
+    # the genuine registry module (pandas-only deps) without the package's
+    # __init__ (which drags in torchaudio/librosa via audio_dataset)
+    dl_spec = importlib.util.spec_from_file_location(
+        "ref_download_utils", "/root/reference/data_processing/download_utils.py"
+    )
+    dl = importlib.util.module_from_spec(dl_spec)
+    dl_spec.loader.exec_module(dl)
+    dp = types.ModuleType("data_processing")
+    dp.DATASETS = dl.DATASETS
+    dp.get_dataframe = dl.get_dataframe
+    dp.download_dataset = dl.download_dataset
+    sys.modules["data_processing"] = dp
+
+    spec = importlib.util.spec_from_file_location(
+        "src", "/root/reference/src/__init__.py",
+        submodule_search_locations=["/root/reference/src"],
+    )
+    src = importlib.util.module_from_spec(spec)
+    sys.modules["src"] = src
+    spec.loader.exec_module(src)
+    src._ref_oracle = True
+    return src
+
+
+class RefCLAPModule(nn.Module):
+    """Minimal stand-in for the reference `CLAP_Module` (`hook.py:21-218`)
+    carrying the two members the `src/` research loops use: ``.model`` (the
+    GENUINE reference CLAP from `model.py`) and
+    ``get_audio_embedding_from_data`` with `hook.py:158-191` semantics
+    (per-sample int16 round-trip + get_audio_features loop + the genuine
+    `model.get_audio_embedding`). The real hook.py is un-importable offline
+    (librosa/wget + pretrained downloads)."""
+
+    def __init__(self, model: nn.Module, audio_cfg: dict | None = None):
+        super().__init__()
+        self.model = model
+        self.enable_fusion = False
+        self.model_cfg = {
+            "audio_cfg": audio_cfg
+            or dict(sample_rate=48000, window_size=1024, hop_size=480,
+                    mel_bins=64, fmin=50, fmax=14000, clip_samples=480000)
+        }
+
+    def get_audio_embedding_from_data(self, x, use_tensor=False, data_fil="repeatpad"):
+        clap_shim = sys.modules["CLAP"]
+        self.model.eval()  # hook.py:173 — eval-mode even inside train loops
+        audio_input = []
+        for audio_waveform in x:
+            if not use_tensor:
+                audio_waveform = clap_shim.int16_to_float32(
+                    clap_shim.float32_to_int16(audio_waveform)
+                )
+                audio_waveform = torch.from_numpy(audio_waveform).float()
+            temp_dict = {}
+            temp_dict = clap_shim.get_audio_features(
+                temp_dict, audio_waveform, 480000,
+                data_truncating="rand_trunc", data_filling=data_fil,
+                audio_cfg=self.model_cfg["audio_cfg"],
+                require_grad=audio_waveform.requires_grad,
+            )
+            audio_input.append(temp_dict)
+        audio_embed = self.model.get_audio_embedding(audio_input)
+        if not use_tensor:
+            audio_embed = audio_embed.detach().cpu().numpy()
+        return audio_embed
+
+
 def build_reference_pann(model_name: str = "Cnn14", **cfg_overrides) -> nn.Module:
     """Instantiate a reference PANN model (Cnn6/Cnn10/Cnn14)."""
     pkg = _load_ref_package()

@@ -1,0 +1,345 @@
+"""L4 research-loop oracle parity (VERDICT r2 item #1).
+
+The REFERENCE research layer (`/root/reference/src/` — training.py,
+evaluation.py, linear.py) is imported VERBATIM via
+`reference_oracle.load_ref_research()` and run head-to-head against this
+package's `train_residual.py` / `linear_probe.py` loops on shared converted
+weights and a shared tiny dataset. This proves the *loop semantics* — eval-
+mode encode with grads, quantize-on-eval-only, per-batch Adam ordering, fold
+handling, `.npz` schema — not just the per-module numerics the other parity
+suites already pin.
+
+Reference call paths matched:
+  * `src/training.py:12-41`  train_one_epoch_zero_shot (λ-only Adam)
+  * `src/training.py:44-69`  evaluate (quantized, numpy round-trip)
+  * `src/training.py:72-140` train_with_config sweep runner
+  * `src/evaluation.py:19-71` train_and_evaluate_residual K-fold `.npz`
+  * `src/linear.py:9-124`    HTSATLinearClassifier + AdamW head training
+
+Double-FFN quirk setting: the reference's patched block forward applies the
+shortcut+MLP twice (`src/residual.py:92-96`); both sides here run with that
+behaviour (our ``double_ffn_compat=True``, the default), so trained-λ parity
+covers the forward the reference actually ran.
+"""
+
+import os
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from audio_residual_tpu.models.clap import CLAPConfig, init_clap_params
+from audio_residual_tpu.ops import pca as pca_ops
+from audio_residual_tpu.residual.module import load_residual_params
+from audio_residual_tpu.training import linear_probe, train_residual
+
+from . import reference_oracle as oracle
+
+N_CLASSES = 4
+CLIP_LEN = 48000  # 1 s @ 48 kHz -> repeatpad x10 to 480000 (deterministic)
+LR = 0.05
+EPOCHS = 2
+
+
+def _quantize_np(x: np.ndarray) -> np.ndarray:
+    """numpy twin of the reference `quantize_tensor` (`src/residual.py:210`):
+    clamp -> x32767 -> int16 (truncating) -> /32767."""
+    x = np.clip(x, -1.0, 1.0)
+    return ((x * 32767.0).astype(np.int16)).astype(np.float32) / 32767.0
+
+
+@pytest.fixture(scope="module")
+def shared(tmp_path_factory):
+    src = oracle.load_ref_research()
+    cfg = CLAPConfig()
+    params = init_clap_params(jax.random.PRNGKey(3), cfg)
+    params = jax.tree.map(np.asarray, params)
+
+    ref_model = oracle.build_reference_clap("roberta")
+    oracle.load_jax_params_into_reference_clap(ref_model, params)
+    ref_module = oracle.RefCLAPModule(ref_model)
+    params = jax.tree.map(jnp.asarray, params)
+    pristine_branch = ref_model.audio_branch  # restore after injections
+
+    rng = np.random.default_rng(17)
+    # two folds x (train, val), each one batch of 2 clips — single-batch
+    # epochs make the probe's shuffle order irrelevant to the trajectory
+    data = {}
+    for fold in range(2):
+        for split in ("train", "val"):
+            wav = (rng.standard_normal((2, CLIP_LEN)) * 0.1).astype(np.float32)
+            labels = rng.integers(0, N_CLASSES, 2)
+            data[(fold, split)] = (wav, labels)
+
+    text = rng.standard_normal((N_CLASSES, cfg.joint_embed_shape)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+
+    # per-(layer 0, fold) PCA pickles in the reference on-disk format
+    pca_root = tmp_path_factory.mktemp("pca")
+    (pca_root / "TESTDS").mkdir()
+    for fold in range(2):
+        q, _ = np.linalg.qr(rng.standard_normal((96, 96)))
+        pca_ops.pca_save(
+            str(pca_root / "TESTDS" / f"layer_0_evalfold_{fold}"),
+            {"components": q.astype(np.float32),
+             "mean": (rng.standard_normal(96) * 0.01).astype(np.float32)},
+        )
+    return SimpleNamespace(
+        src=src, cfg=cfg, params=params, ref_module=ref_module,
+        pristine_branch=pristine_branch, data=data,
+        text=text, pca_root=str(pca_root),
+    )
+
+
+def _torch_loader(wav, labels):
+    """Reference-side loader: list of (x [B, 1, T], labels) batches."""
+    return [(torch.from_numpy(wav)[:, None, :], torch.from_numpy(labels))]
+
+
+def _jax_batches(wav, labels):
+    def gen():
+        yield wav, labels
+
+    return gen
+
+
+def _restore(shared):
+    shared.ref_module.model.audio_branch = shared.pristine_branch
+
+
+def test_zero_shot_eval_loop_parity(shared):
+    """`src/training.py:44-69` evaluate vs our `evaluate_zero_shot`: the
+    quantize -> per-sample featurize -> embed -> CE/accuracy loop."""
+    wav, labels = shared.data[(0, "val")]
+    criterion = torch.nn.CrossEntropyLoss()
+    ref_loss, ref_acc = shared.src.evaluate(
+        shared.ref_module, _torch_loader(wav, labels),
+        torch.from_numpy(shared.text), criterion, torch.device("cpu"),
+    )
+
+    # reference applies quantize_tensor (`evaluation.py:93`/`training.py:55`)
+    # and THEN the hook's int16 round-trip; our evaluate applies one
+    # round-trip internally, so pre-apply the first quantization here
+    wav_q = _quantize_np(wav)
+    with jax.default_matmul_precision("highest"):
+        preds, targets, sims = train_residual.evaluate_zero_shot(
+            shared.params, shared.cfg, _jax_batches(wav_q, labels)(),
+            jnp.asarray(shared.text),
+        )
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(sims), axis=-1))
+    our_loss = float(-np.mean(logp[np.arange(len(labels)), labels]))
+    our_acc = float((preds == labels).mean())
+
+    assert our_acc == ref_acc
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-3, atol=2e-3)
+
+
+def test_residual_training_loop_parity(shared):
+    """`src/training.py:12-41` + Adam-on-λ vs our `train_residual`: same PCA
+    pickle, same batch order, same lr — per-epoch losses, accuracies, and
+    the trained λ trajectory must match."""
+    src = shared.src
+    wav, labels = shared.data[(0, "train")]
+    pca_file = os.path.join(shared.pca_root, "TESTDS", "layer_0_evalfold_0")
+
+    new_htsat, residuals = src.setup_residual_htsat(
+        shared.ref_module.model.audio_branch, {0: pca_file}, [0]
+    )
+    shared.ref_module.model.audio_branch = new_htsat
+    try:
+        optimizer = torch.optim.Adam([r.learnable for r in residuals.values()], lr=LR)
+        criterion = torch.nn.CrossEntropyLoss()
+        ref_hist = []
+        for _ in range(EPOCHS):
+            loss, acc = src.train_one_epoch_zero_shot(
+                shared.ref_module, _torch_loader(wav, labels),
+                torch.from_numpy(shared.text), optimizer, criterion,
+                torch.device("cpu"),
+            )
+            ref_hist.append((loss, acc))
+        ref_lam = residuals[0].learnable.detach().numpy().copy()
+    finally:
+        _restore(shared)
+
+    residual = {0: load_residual_params(pca_file)}
+    with jax.default_matmul_precision("highest"):
+        trained, history = train_residual.train_residual(
+            shared.params, shared.cfg, _jax_batches(wav, labels),
+            jnp.asarray(shared.text), residual, epochs=EPOCHS, lr=LR,
+        )
+    our_lam = np.asarray(trained[0]["lam"])
+
+    for (ref_loss, ref_acc), rec in zip(ref_hist, history):
+        np.testing.assert_allclose(rec["train_loss"], ref_loss, rtol=5e-3, atol=5e-3)
+        assert rec["train_acc"] == ref_acc
+    # λ moved off init on both sides, in the same direction, to the same place
+    assert not np.allclose(ref_lam, 1.0)
+    np.testing.assert_allclose(our_lam, ref_lam, atol=5e-3)
+    dr, do = ref_lam - 1.0, our_lam - 1.0
+    cos = float(dr @ do / (np.linalg.norm(dr) * np.linalg.norm(do)))
+    assert cos > 0.999
+
+
+def test_train_and_evaluate_residual_npz_parity(shared, tmp_path):
+    """`src/evaluation.py:19-71` vs our K-fold harness: identical fold
+    handling and `.npz` artifact contents (predictions/targets exact,
+    similarities within f32 forward tolerance)."""
+    src = shared.src
+    folds_ref = [
+        (_torch_loader(*shared.data[(i, "train")]), _torch_loader(*shared.data[(i, "val")]))
+        for i in range(2)
+    ]
+    ref_dir = tmp_path / "ref"
+    try:
+        src.train_and_evaluate_residual(
+            shared.ref_module, "TESTDS", folds_ref, torch.from_numpy(shared.text),
+            shared.pca_root, str(ref_dir), epochs=1, lr=LR, inject_layers=[0],
+        )
+    finally:
+        _restore(shared)
+
+    folds_jax = [
+        (_jax_batches(*shared.data[(i, "train")]), _jax_batches(*shared.data[(i, "val")]))
+        for i in range(2)
+    ]
+    our_dir = tmp_path / "ours"
+
+    # match the reference eval's double quantization (see eval-loop test)
+    import audio_residual_tpu.training.train_residual as tr_mod
+
+    orig_eval = tr_mod.evaluate_zero_shot
+
+    def eval_prequantized(params, cfg, batches, *a, **kw):
+        batches = [(_quantize_np(np.asarray(w)), l) for w, l in batches]
+        return orig_eval(params, cfg, batches, *a, **kw)
+
+    tr_mod.evaluate_zero_shot = eval_prequantized
+    try:
+        with jax.default_matmul_precision("highest"):
+            results = tr_mod.train_and_evaluate_residual(
+                shared.params, shared.cfg, "TESTDS", folds_jax,
+                jnp.asarray(shared.text), shared.pca_root, str(our_dir),
+                epochs=1, lr=LR, inject_layers=(0,),
+            )
+    finally:
+        tr_mod.evaluate_zero_shot = orig_eval
+
+    assert len(results) == 2
+    for i in range(2):
+        ref_npz = np.load(ref_dir / "TESTDS" / "ResiDual" / f"layers_0_evalfold_{i}.npz")
+        our_npz = np.load(our_dir / "TESTDS" / "ResiDual" / f"layers_0_evalfold_{i}.npz")
+        assert set(ref_npz.files) == set(our_npz.files) == {
+            "similarities", "predictions", "targets"
+        }
+        np.testing.assert_array_equal(our_npz["targets"], ref_npz["targets"])
+        np.testing.assert_array_equal(our_npz["predictions"], ref_npz["predictions"])
+        np.testing.assert_allclose(
+            our_npz["similarities"], ref_npz["similarities"], atol=2e-3
+        )
+
+
+def test_linear_probe_loop_parity(shared):
+    """`src/linear.py:9-124` vs our probe: shared kaiming head init, AdamW,
+    CE — per-epoch losses, eval predictions and softmax similarities."""
+    src = shared.src
+    tr_wav, tr_labels = shared.data[(0, "train")]
+    va_wav, va_labels = shared.data[(0, "val")]
+
+    model = src.HTSATLinearClassifier(clap=shared.ref_module, n_classes=N_CLASSES)
+    w0 = model.classifier.weight.detach().numpy().copy()  # [n_classes, 512]
+    optimizer = torch.optim.AdamW(
+        filter(lambda p: p.requires_grad, model.parameters()), lr=LR
+    )
+    criterion = torch.nn.CrossEntropyLoss()
+    ref_hist = [
+        src.train_linear_head_one_epoch(
+            model, _torch_loader(tr_wav, tr_labels), optimizer, criterion,
+            torch.device("cpu"),
+        )
+        for _ in range(EPOCHS)
+    ]
+    ref_preds, ref_targs, ref_sims = src.eval_linear_head(
+        model, _torch_loader(va_wav, va_labels), torch.device("cpu")
+    )
+
+    with jax.default_matmul_precision("highest"):
+        # the reference LP path never quantizes (use_tensor=True throughout)
+        tr_x, tr_y = linear_probe.embed_dataset(
+            shared.params, shared.cfg, _jax_batches(tr_wav, tr_labels)(),
+            quantize=False,
+        )
+        va_x, va_y = linear_probe.embed_dataset(
+            shared.params, shared.cfg, _jax_batches(va_wav, va_labels)(),
+            quantize=False,
+        )
+    head = {  # same init as the torch head (kaiming W, zero b)
+        "out": {"kernel": jnp.asarray(w0.T), "bias": jnp.zeros((N_CLASSES,))}
+    }
+    import optax
+
+    optimizer_j = optax.adamw(LR, weight_decay=0.01)  # torch AdamW defaults
+    opt_state = optimizer_j.init(head)
+
+    @jax.jit
+    def step(head, opt_state, x, y):
+        def f(h):
+            from audio_residual_tpu.training.losses import lp_loss
+
+            return lp_loss(linear_probe.head_apply(h, x), y, "ce")
+
+        loss, grads = jax.value_and_grad(f)(head)
+        updates, opt_state = optimizer_j.update(grads, opt_state, head)
+        return optax.apply_updates(head, updates), opt_state, loss
+
+    our_hist = []
+    for _ in range(EPOCHS):
+        head, opt_state, loss = step(
+            head, opt_state, jnp.asarray(tr_x), jnp.asarray(tr_y)
+        )
+        our_hist.append(float(loss))
+
+    for (ref_loss, _), our_loss in zip(ref_hist, our_hist):
+        np.testing.assert_allclose(our_loss, ref_loss, rtol=5e-3, atol=5e-3)
+    preds, targs, sims = linear_probe.eval_linear_head(head, va_x, va_y)
+    np.testing.assert_array_equal(preds, np.asarray(ref_preds))
+    np.testing.assert_array_equal(targs, np.asarray(ref_targs))
+    np.testing.assert_allclose(sims, ref_sims, atol=2e-3)
+
+
+def test_train_with_config_sweep_parity(shared):
+    """`src/training.py:72-140` sweep runner vs our `train_with_config`:
+    best val accuracy recorded for the fold matches."""
+    src = shared.src
+    import sys
+
+    wandb = sys.modules["wandb"]
+    folds_ref = [
+        (_torch_loader(*shared.data[(i, "train")]), _torch_loader(*shared.data[(i, "val")]))
+        for i in range(2)
+    ]
+    config = SimpleNamespace(
+        learning_rate=LR, epochs=1, inject_layers=[0], eval_fold=1
+    )
+    try:
+        src.train_with_config(
+            config, shared.ref_module, "TESTDS", folds_ref,
+            torch.from_numpy(shared.text), shared.pca_root,
+        )
+        ref_best = wandb.run.summary["fold_1_best_val_accuracy"]
+    finally:
+        _restore(shared)
+
+    folds_jax = [
+        (_jax_batches(*shared.data[(i, "train")]), _jax_batches(*shared.data[(i, "val")]))
+        for i in range(2)
+    ]
+    with jax.default_matmul_precision("highest"):
+        out = train_residual.train_with_config(
+            {"lr": LR, "epochs": 1, "inject_layers": (0,), "eval_fold": 1},
+            shared.params, shared.cfg, "TESTDS", folds_jax,
+            jnp.asarray(shared.text), shared.pca_root,
+        )
+    assert out["best_val_acc"] == ref_best
