@@ -79,6 +79,10 @@ class HTSATConfig:
     # fused DFT+power+mel+log frontend kernel (never materialises the
     # [frames, 513] power spectrogram in HBM)
     use_pallas_frontend: bool = True
+    # DFT matmul precision override (None = auto: "bf16x3" under bf16 AMP,
+    # f32-exact otherwise; "bf16" = single-pass, ~3x fewer frontend MXU
+    # passes at ~0.4% relative Re/Im error — gate behind an accuracy check)
+    dft_mode: str | None = None
 
     @property
     def freq_ratio(self) -> int:
@@ -648,8 +652,11 @@ def htsat_apply(
             from audio_residual_tpu.ops.pallas import frontend as pallas_fe
 
             # bf16 AMP mode extends to the DFT: 3-pass bf16 split-pair
-            # (~3e-3 dB max error) halves the frontend's MXU passes
-            dft = "bf16x3" if compute_dtype == jnp.bfloat16 else None
+            # (~3e-3 dB max error) halves the frontend's MXU passes;
+            # cfg.dft_mode overrides (e.g. single-pass "bf16")
+            dft = cfg.dft_mode or (
+                "bf16x3" if compute_dtype == jnp.bfloat16 else None
+            )
             x = pallas_fe.fused_logmel(wav, fcfg, dft_mode=dft)  # [B, T, F]
         else:
             x = frontend.logmel(wav, fcfg)  # [B, T, F]

@@ -1,0 +1,37 @@
+"""The one-command full-workflow artifact (`examples/full_workflow.py`) runs
+the composed pipeline — PCA -> injection -> λ-training -> zero-shot /
+baseline / linear compare -> figures — and its summary passes the structural
+assertions (VERDICT r2 item #4)."""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_full_workflow_tiny(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "examples"))
+    try:
+        import full_workflow
+    finally:
+        sys.path.pop(0)
+
+    s = full_workflow.main(
+        ["--size", "tiny", "--folds", "2", "--epochs", "2",
+         "--out-dir", str(tmp_path)]
+    )
+    assert s["ok"] is True
+    assert s["lambda_moved"]
+    assert set(s["artifacts"]["npz"]) == {
+        "lambda_layer0_evalfold_0.pkl", "lambda_layer0_evalfold_1.pkl",
+        "layers_0_evalfold_0.npz", "layers_0_evalfold_1.npz",
+    }
+    assert s["artifacts"]["confusion_fig"] > 0 and s["artifacts"]["lambda_fig"] > 0
+    # every stage produced its eval dir
+    for variant in ("Baseline", "ResiDual", "Linear"):
+        assert os.path.isdir(tmp_path / "eval" / "SYNTH" / variant)
+    # PCA pickles in the reference format are readable by the loader
+    from audio_residual_tpu.residual.module import load_residual_params
+
+    r = load_residual_params(str(tmp_path / "pca" / "SYNTH" / "layer_0_evalfold_0"))
+    assert r["basis"].shape[0] == r["basis"].shape[1] == 32
