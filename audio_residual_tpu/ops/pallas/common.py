@@ -7,10 +7,15 @@ every kernel at once.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["erf_f32", "gelu_exact", "layer_norm"]
+__all__ = [
+    "erf_f32", "gelu_exact", "layer_norm",
+    "pick_head_group", "attention_core", "pack_bias_groups",
+]
 
 
 def erf_f32(x):
@@ -35,3 +40,94 @@ def layer_norm(x, scale, bias, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def pick_head_group(nh: int, hd: int, n: int) -> int:
+    """Heads per packed attention group (see :func:`attention_core`).
+
+    hg=4 when the group's channel width fits one MXU contraction tile
+    (4*hd <= 128) and windows are the standard 64 tokens — every HTSAT
+    variant (hd=24, n=64) qualifies. ``ARPU_ATTN_HG`` overrides for A/B
+    measurement (\"1\" = plain per-head loop).
+    """
+    env = os.environ.get("ARPU_ATTN_HG", "auto")
+    if env not in ("", "auto"):
+        hg = int(env)
+        return hg if hg >= 1 and nh % hg == 0 else 1
+    if nh % 4 == 0 and 4 * hd <= 128 and n <= 128:
+        return 4
+    if nh % 2 == 0 and 2 * hd <= 128 and n <= 128:
+        return 2
+    return 1
+
+
+def pack_bias_groups(bias: jnp.ndarray, hg: int) -> jnp.ndarray:
+    """``[nh, n, n] -> [nh//hg, n, hg*n]``: relative-position bias in the
+    lane-packed layout :func:`attention_core` consumes (done OUTSIDE the
+    kernel — XLA-land, once per call)."""
+    if hg == 1:
+        return bias
+    nh, n, _ = bias.shape
+    return bias.reshape(nh // hg, hg, n, n).transpose(0, 2, 1, 3).reshape(
+        nh // hg, n, hg * n
+    )
+
+
+def attention_core(qkv, bias_ref, mask, *, g, n, c, nh, scale, bdot, hg=1):
+    """Windowed multi-head attention inner loop -> ``[g*n, c]`` (pre-proj).
+
+    ``qkv [g*n, 3c]``, ``bias_ref`` indexable per head (hg=1, ``[nh, n, n]``
+    blocks) or per group (hg>1, ``[nh//hg, n, hg*n]`` packed layout from
+    :func:`pack_bias_groups`), ``mask [g, n, n]``.
+
+    hg=1: per-head [n, hd] x [hd, n] dots — at hd=24 (every HTSAT variant)
+    these fill only 24 of the MXU's 128 contraction lanes and stream
+    2*nh*n rows per window. hg>1 packs the group's heads into the LANE dim
+    with block-masked wide operands: scores = Q_grp [n, hg*hd] x
+    K_wide^T [hg*n, hg*hd] yields all hg heads' [n, n] score blocks in
+    ceil(hg*n/128) lane tiles — half the row-streams at hg=4/hd=24 (and the
+    same again for attn@V). The block-mask zeros make the math EXACT; the
+    softmax max-subtraction uses the group's global row max (stability only
+    — denominators stay per-head).
+    """
+    hd = c // nh
+    outs = []
+    if hg == 1:
+        for h in range(nh):
+            qh = qkv[:, h * hd : (h + 1) * hd].reshape(g, n, hd) * scale
+            kh = qkv[:, c + h * hd : c + (h + 1) * hd].reshape(g, n, hd)
+            vh = qkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd].reshape(g, n, hd)
+            s = bdot(qh, kh, (((2,), (2,)), ((0,), (0,))))  # [g, n, n]
+            s = s + bias_ref[h] + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            oh = bdot(probs, vh, (((2,), (1,)), ((0,), (0,))))  # [g, n, hd]
+            outs.append(oh.reshape(g * n, hd))
+        return jnp.concatenate(outs, axis=-1)
+
+    w = hg * hd  # group channel width
+    # block mask: row block h (head) keeps only its own hd channel slice
+    row = jax.lax.broadcasted_iota(jnp.int32, (hg * n, w), 0) // n
+    col = jax.lax.broadcasted_iota(jnp.int32, (hg * n, w), 1) // hd
+    blockmask = (row == col).astype(jnp.float32)
+    mask_w = jnp.concatenate([mask] * hg, axis=2)  # [g, n, hg*n]
+    for grp in range(nh // hg):
+        h0 = grp * hg
+        qg = qkv[:, h0 * hd : h0 * hd + w].reshape(g, n, w) * scale
+        kg = qkv[:, c + h0 * hd : c + h0 * hd + w].reshape(g, n, w)
+        vg = qkv[:, 2 * c + h0 * hd : 2 * c + h0 * hd + w].reshape(g, n, w)
+        kw = jnp.concatenate([kg] * hg, axis=1) * blockmask  # [g, hg*n, w]
+        vw = jnp.concatenate([vg] * hg, axis=1) * blockmask
+        s = bdot(qg, kw, (((2,), (2,)), ((0,), (0,))))  # [g, n, hg*n]
+        s = s + bias_ref[grp] + mask_w
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        og = bdot(e, vw, (((2,), (1,)), ((0,), (0,))))  # [g, n, w]
+        denom = []
+        for h in range(hg):
+            dh = jnp.sum(e[:, :, h * n : (h + 1) * n], axis=-1, keepdims=True)
+            denom.append(jnp.broadcast_to(dh, (g, n, hd)))
+        og = og / jnp.concatenate(denom, axis=2)
+        outs.append(og.reshape(g * n, w))
+    return jnp.concatenate(outs, axis=-1)

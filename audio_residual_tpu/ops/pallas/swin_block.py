@@ -42,22 +42,26 @@ __all__ = ["fused_swin_block", "block_pick_group", "block_supports"]
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _block_vmem_need(g: int, n: int, c: int, nh: int, hidden: int) -> int:
+def _block_vmem_need(g: int, n: int, c: int, nh: int, hidden: int, hg: int = 1) -> int:
     f32 = 4
+    hd = c // nh
     return (
         g * n * c * f32 * 3  # x + h + out
         + g * n * 3 * c * f32  # qkv
         + 2 * g * nh * n * n * f32  # scores + probs
+        + (2 * g * hg * n * hg * hd * f32 if hg > 1 else 0)  # packed K/V wide
         + g * n * hidden * f32  # mlp hidden
         + (3 * c * c + c * c + 2 * c * hidden) * f32  # weights
         + (nh + g) * n * n * f32  # bias + mask
     )
 
 
-def block_pick_group(nw: int, n: int, c: int, nh: int, hidden: int) -> int | None:
+def block_pick_group(
+    nw: int, n: int, c: int, nh: int, hidden: int, hg: int = 1
+) -> int | None:
     g = nw
     while g >= 1:
-        if nw % g == 0 and _block_vmem_need(g, n, c, nh, hidden) < _VMEM_BUDGET:
+        if nw % g == 0 and _block_vmem_need(g, n, c, nh, hidden, hg) < _VMEM_BUDGET:
             return g
         g //= 2
     return None
@@ -94,9 +98,8 @@ _ln = common.layer_norm
 def _kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
             bias_ref, mask_ref, rbasis_ref, rmean_ref, rlam_ref, o_ref,
-            *, g, n, c, nh, scale, use_residual, double_ffn, mxu_dtype=None):
-    hd = c // nh
-
+            *, g, n, c, nh, scale, use_residual, double_ffn, mxu_dtype=None,
+            hg=1):
     def dot(a, b):  # MXU matmul, optional bf16 inputs, always f32 accumulate
         if mxu_dtype is not None:
             a, b = a.astype(mxu_dtype), b.astype(mxu_dtype)
@@ -111,20 +114,10 @@ def _kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     x = x_ref[:].reshape(g * n, c)
     y = _ln(x, n1s_ref[:], n1b_ref[:])
     qkv = dot(y, wqkv_ref[:]) + bqkv_ref[:]
-    mask = mask_ref[:]
-    outs = []
-    for h in range(nh):
-        qh = qkv[:, h * hd : (h + 1) * hd].reshape(g, n, hd) * scale
-        kh = qkv[:, c + h * hd : c + (h + 1) * hd].reshape(g, n, hd)
-        vh = qkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd].reshape(g, n, hd)
-        s = bdot(qh, kh, (((2,), (2,)), ((0,), (0,))))
-        s = s + bias_ref[h] + mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        oh = bdot(probs, vh, (((2,), (1,)), ((0,), (0,))))
-        outs.append(oh.reshape(g * n, hd))
-    a = jnp.concatenate(outs, axis=-1)
+    a = common.attention_core(
+        qkv, bias_ref, mask_ref[:], g=g, n=n, c=c, nh=nh, scale=scale,
+        bdot=bdot, hg=hg,
+    )
     a = dot(a, wproj_ref[:]) + bproj_ref[:]
 
     if use_residual:
@@ -217,7 +210,11 @@ def fused_swin_block(
     bnw, n, c = x.shape
     nw = num_windows_per_image
     hidden = wfc1.shape[1]
-    g = block_pick_group(nw, n, c, nh, hidden)
+    hg = common.pick_head_group(nh, c // nh, n)
+    g = block_pick_group(nw, n, c, nh, hidden, hg)
+    if g is None and hg > 1:  # packed operands don't fit: plain head loop
+        hg = 1
+        g = block_pick_group(nw, n, c, nh, hidden)
     if g is None:
         k_res = res[0].shape[0] if use_residual else 0
         if not _split_plan_supports(nw, n, c, nh, hidden, k_res):
@@ -238,9 +235,11 @@ def fused_swin_block(
         rmean = jnp.zeros((c,), jnp.float32)
         rlam = jnp.zeros((1,), jnp.float32)
 
+    bias = common.pack_bias_groups(bias, hg)
     kernel = functools.partial(
         _kernel, g=g, n=n, c=c, nh=nh, scale=scale,
         use_residual=use_residual, double_ffn=double_ffn, mxu_dtype=mxu_dtype,
+        hg=hg,
     )
     k_r = rbasis.shape[0]
     full = lambda *shape: pl.BlockSpec(shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM)  # noqa: E731
@@ -255,7 +254,7 @@ def fused_swin_block(
             full(c), full(c),
             full(c, hidden), full(hidden),
             full(hidden, c), full(c),
-            full(nh, n, n),
+            full(*bias.shape),
             pl.BlockSpec((g, n, n), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
             full(k_r, c), full(c), full(k_r),
         ],

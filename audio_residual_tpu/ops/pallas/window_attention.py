@@ -30,28 +30,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from audio_residual_tpu.ops import windows as win_ops
+from audio_residual_tpu.ops.pallas import common
 
 __all__ = ["fused_window_attention", "supports", "pick_group"]
 
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _vmem_need(g: int, n: int, c: int, nh: int) -> int:
+def _vmem_need(g: int, n: int, c: int, nh: int, hg: int = 1) -> int:
     f32 = 4
+    hd = c // nh
     return (
         g * n * c * f32 * 2  # x + out
         + g * n * 3 * c * f32  # qkv
         + 2 * g * nh * n * n * f32  # scores + probs
+        + (2 * g * hg * n * hg * hd * f32 if hg > 1 else 0)  # packed K/V wide
         + (3 * c * c + c * c) * f32  # weights
         + (nh + g) * n * n * f32  # bias + mask blocks
     )
 
 
-def pick_group(num_windows_per_image: int, n: int, c: int, nh: int) -> int | None:
+def pick_group(
+    num_windows_per_image: int, n: int, c: int, nh: int, hg: int = 1
+) -> int | None:
     """Largest divisor of nW/image whose working set fits VMEM."""
     g = num_windows_per_image
     while g >= 1:
-        if num_windows_per_image % g == 0 and _vmem_need(g, n, c, nh) < _VMEM_BUDGET:
+        if num_windows_per_image % g == 0 and _vmem_need(g, n, c, nh, hg) < _VMEM_BUDGET:
             return g
         g //= 2
     return None
@@ -102,12 +107,13 @@ def supports(num_windows_per_image: int, n: int, c: int, nh: int) -> bool:
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref, o_ref,
-            *, g, n, c, nh, scale, mxu_dtype=None):
+            *, g, n, c, nh, scale, mxu_dtype=None, hg=1):
     """Mosaic-friendly decomposition: one big qkv GEMM, then a static
-    per-head loop of window-batched [n, hd] x [hd, n] matmuls. Only
-    leading-dim splits and last-dim slices — no >4D vector reshapes (Mosaic
-    can't lower those)."""
-    hd = c // nh
+    per-head-group loop. Only leading-dim splits and last-dim slices — no
+    >4D vector reshapes (Mosaic can't lower those).
+
+    ``hg`` heads per packed group — see `common.attention_core`.
+    """
 
     def dot(a, b):  # MXU matmul, optional bf16 inputs, f32 accumulate
         if mxu_dtype is not None:
@@ -122,20 +128,10 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
 
     xw = x_ref[:].reshape(g * n, c)
     qkv = dot(xw, wqkv_ref[:]) + bqkv_ref[:]
-    mask = mask_ref[:]  # [g, n, n]
-    outs = []
-    for h in range(nh):
-        qh = qkv[:, h * hd : (h + 1) * hd].reshape(g, n, hd) * scale
-        kh = qkv[:, c + h * hd : c + (h + 1) * hd].reshape(g, n, hd)
-        vh = qkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd].reshape(g, n, hd)
-        s = bdot(qh, kh, (((2,), (2,)), ((0,), (0,))))  # [g, n, n]
-        s = s + bias_ref[h] + mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        oh = bdot(probs, vh, (((2,), (1,)), ((0,), (0,))))  # [g, n, hd]
-        outs.append(oh.reshape(g * n, hd))
-    o = jnp.concatenate(outs, axis=-1)  # [g*n, c]
+    o = common.attention_core(
+        qkv, bias_ref, mask_ref[:], g=g, n=n, c=c, nh=nh, scale=scale,
+        bdot=bdot, hg=hg,
+    )
     out = dot(o, wproj_ref[:]) + bproj_ref[:]
     o_ref[:] = out.reshape(g, n, c)
 
@@ -283,7 +279,11 @@ def fused_window_attention(
     bnw, n, c = x.shape
     nw = num_windows_per_image
     b = bnw // nw
-    g = pick_group(nw, n, c, nh)
+    hg = common.pick_head_group(nh, c // nh, n)
+    g = pick_group(nw, n, c, nh, hg)
+    if g is None and hg > 1:  # packed operands don't fit: plain head loop
+        hg = 1
+        g = pick_group(nw, n, c, nh)
     scale = (c // nh) ** -0.5
 
     bias = win_ops.gather_relative_bias(rel_bias_table, window, window)  # [nh, n, n]
@@ -301,9 +301,10 @@ def fused_window_attention(
             nw=nw, n=n, c=c, nh=nh, scale=scale, plan=plan, mxu_dtype=mxu_dtype,
         )
 
+    bias = common.pack_bias_groups(bias, hg)
     groups = nw // g
     kernel = functools.partial(_kernel, g=g, n=n, c=c, nh=nh, scale=scale,
-                               mxu_dtype=mxu_dtype)
+                               mxu_dtype=mxu_dtype, hg=hg)
     return pl.pallas_call(
         kernel,
         grid=(b, groups),
@@ -313,7 +314,7 @@ def fused_window_attention(
             pl.BlockSpec((3 * c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, n, n), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias.shape, lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, n, n), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

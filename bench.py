@@ -97,6 +97,38 @@ def bench_jax_tpu() -> tuple[float, float | None]:
 
     compute_dtype = jnp.bfloat16 if BENCH_DTYPE == "bf16" else None
 
+    def make_embed(dtype):
+        @jax.jit
+        def f(params, wav):
+            w = quantize_roundtrip(wav)
+            batch = featurize_batch(w, cfg.audio.clip_samples)
+            return clap_mod.encode_audio(
+                params, batch, cfg, residual=residual, compute_dtype=dtype
+            )["normalized"]
+
+        return f
+
+    def accuracy_guard() -> dict:
+        """The headline number advertises '+ResiDual inference' accuracy:
+        pin that the bench dtype mode agrees with the f32 reference path —
+        per-clip zero-shot argmax identical, embedding cosine ~1 — so the
+        throughput can't silently drift from the accuracy it claims
+        (BASELINE.md north-star parity clause). BENCH_ASSERT=0 reports
+        without failing."""
+        gw = jnp.asarray(make_inputs(32, seed=123))
+        e_mode = np.asarray(make_embed(compute_dtype)(params, gw))
+        e_f32 = np.asarray(make_embed(None)(params, gw))
+        cos = np.sum(e_mode * e_f32, axis=-1)
+        t = np.asarray(text_embeds)
+        agree = float(
+            np.mean((e_mode @ t.T).argmax(-1) == (e_f32 @ t.T).argmax(-1))
+        )
+        guard = {"min_embed_cos": round(float(cos.min()), 6), "argmax_agreement": agree}
+        if os.environ.get("BENCH_ASSERT", "1") != "0":
+            assert agree == 1.0, f"bench-mode argmax drifted from f32: {guard}"
+            assert cos.min() > 0.999, f"bench-mode embeddings drifted: {guard}"
+        return guard
+
     def zero_shot(params, wav):
         wav = quantize_roundtrip(wav)
         batch = featurize_batch(wav, cfg.audio.clip_samples)
@@ -136,9 +168,14 @@ def bench_jax_tpu() -> tuple[float, float | None]:
         times.append(time.perf_counter() - t0)
     dt_program = float(np.median(times))
     clips_per_sec = BATCH / (dt_program / n_iters)
-    peak = _peak_flops(jax.devices()[0])
+    device = jax.devices()[0]
+    peak = _peak_flops(device)
+    if peak is None:
+        print(f"# no peak-FLOPs entry for device kind {device.device_kind!r}; "
+              "mfu omitted", file=sys.stderr)
     mfu = (flops / dt_program / peak) if (flops and peak) else None
-    return clips_per_sec, mfu
+    guard = accuracy_guard()
+    return clips_per_sec, mfu, guard
 
 
 def bench_torch_cpu() -> float:
@@ -176,7 +213,7 @@ def bench_torch_cpu() -> float:
 
 
 def main() -> None:
-    value, mfu = bench_jax_tpu()
+    value, mfu, guard = bench_jax_tpu()
     try:
         baseline = bench_torch_cpu()
     except Exception:
@@ -190,6 +227,7 @@ def main() -> None:
                 "unit": "clips/sec",
                 "vs_baseline": round(vs, 2) if vs else None,
                 "mfu": round(mfu, 4) if mfu else None,
+                "acc_guard": guard,
             }
         )
     )
