@@ -28,6 +28,27 @@ def _params(rng, c, nh):
     }
 
 
+def test_head_group_packing_exact(rng, monkeypatch):
+    """hg=4 lane-packed attention (block-masked wide K/V) == the plain
+    per-head loop bit-for-bit modulo accumulation order — both fused-kernel
+    paths stay covered whatever pick_head_group auto-selects."""
+    c, nh, b, g = 96, 4, 2, 4
+    p = _params(rng, c, nh)
+    x = jnp.asarray(rng.standard_normal((b * g, 64, c)).astype(np.float32) * 0.5)
+    outs = {}
+    for hg in ("1", "4"):
+        monkeypatch.setenv("ARPU_ATTN_HG", hg)
+        with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+            outs[hg] = np.asarray(
+                fwa.fused_window_attention(
+                    x, p["qkv"]["kernel"], p["qkv"]["bias"],
+                    p["proj"]["kernel"], p["proj"]["bias"], p["rel_bias_table"],
+                    nh, 8, g, 4, (16, 16),
+                )
+            )
+    np.testing.assert_allclose(outs["4"], outs["1"], atol=2e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("shift,res,g", [(0, (16, 16), 4), (4, (16, 16), 4), (4, (8, 8), 1)])
 def test_fused_matches_xla(rng, shift, res, g):
     c, nh, b = 96, 4, 2
