@@ -54,9 +54,13 @@ def pick_head_group(nh: int, hd: int, n: int) -> int:
     if env not in ("", "auto"):
         hg = int(env)
         return hg if hg >= 1 and nh % hg == 0 else 1
-    if nh % 4 == 0 and 4 * hd <= 128 and n <= 128:
+    # measured on v5e (BENCH_r03 A/B, us/clip): packing wins -25 at L0
+    # (nh=4), is neutral at L1/L2 (nh=8/16), and LOSES ~3x at L3 (nh=32,
+    # one window/image: 8 sequential groups of operand-building overhead
+    # with no parallel window work to hide it) — so gate on head count
+    if nh <= 16 and nh % 4 == 0 and 4 * hd <= 128 and n <= 128:
         return 4
-    if nh % 2 == 0 and 2 * hd <= 128 and n <= 128:
+    if nh <= 16 and nh % 2 == 0 and 2 * hd <= 128 and n <= 128:
         return 2
     return 1
 

@@ -36,26 +36,41 @@ def annotate(name: str):
 
 
 def measure_throughput(forward, example, *, iters: int = 10, batch_axis: int = 0) -> dict:
-    """Reliable steady-state timing: ``iters`` executions of ``forward`` are
-    chained through a data dependency inside ONE jitted program, so queue
-    tricks and dispatch latency cannot skew the number.
+    """Reliable steady-state timing: executions of ``forward`` are chained
+    through a data dependency inside ONE jitted program, so queue tricks
+    cannot skew the number — and the program is timed at TWO lengths
+    (``iters`` and ``2*iters``) with the per-iter time taken from the
+    DIFFERENCE, so the per-dispatch relay latency (~30 ms through the axon
+    tunnel — same order as a ~1 ms kernel amortized over 10 iters) cancels
+    exactly instead of inflating short programs.
 
     ``forward(example) -> array``. Returns {seconds_per_iter, items_per_sec}.
     """
 
-    @jax.jit
-    def multi(x):
-        def body(carry, _):
-            out = forward(x + carry * 1e-12)
-            return jnp.mean(out).astype(jnp.float32), None
+    def make(length):
+        @jax.jit
+        def multi(x):
+            def body(carry, _):
+                out = forward(x + carry * 1e-12)
+                return jnp.mean(out).astype(jnp.float32), None
 
-        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return s
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
+            return s
 
-    float(np.asarray(multi(example)))  # compile + sync
-    t0 = time.perf_counter()
-    float(np.asarray(multi(example)))
-    dt = (time.perf_counter() - t0) / iters
+        return multi
+
+    short, long = make(iters), make(2 * iters)
+
+    def timed(fn, reps=3):
+        float(np.asarray(fn(example)))  # compile + sync
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(fn(example)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    dt = max(timed(long) - timed(short), 1e-9) / iters
     return {
         "seconds_per_iter": dt,
         "items_per_sec": example.shape[batch_axis] / dt,

@@ -87,6 +87,11 @@ def bench_jax_tpu() -> tuple[float, float | None]:
     from audio_residual_tpu.residual.module import load_residual_params
 
     cfg = clap_mod.CLAPConfig()
+    dft = os.environ.get("BENCH_DFT")  # e.g. "bf16": 1-pass DFT experiment
+    if dft:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, audio=dataclasses.replace(cfg.audio, dft_mode=dft))
     params = clap_mod.init_clap_params(jax.random.PRNGKey(0), cfg)
     residual = {0: load_residual_params(
         "/root/reference/residual_pca/ESC50/layer_0_evalfold_0")}
@@ -97,13 +102,15 @@ def bench_jax_tpu() -> tuple[float, float | None]:
 
     compute_dtype = jnp.bfloat16 if BENCH_DTYPE == "bf16" else None
 
-    def make_embed(dtype):
+    def make_embed(dtype, ref_cfg=None):
+        use_cfg = ref_cfg if ref_cfg is not None else cfg
+
         @jax.jit
         def f(params, wav):
             w = quantize_roundtrip(wav)
-            batch = featurize_batch(w, cfg.audio.clip_samples)
+            batch = featurize_batch(w, use_cfg.audio.clip_samples)
             return clap_mod.encode_audio(
-                params, batch, cfg, residual=residual, compute_dtype=dtype
+                params, batch, use_cfg, residual=residual, compute_dtype=dtype
             )["normalized"]
 
         return f
@@ -117,7 +124,9 @@ def bench_jax_tpu() -> tuple[float, float | None]:
         without failing."""
         gw = jnp.asarray(make_inputs(32, seed=123))
         e_mode = np.asarray(make_embed(compute_dtype)(params, gw))
-        e_f32 = np.asarray(make_embed(None)(params, gw))
+        # reference arm: pristine f32 config — any BENCH_DFT override must
+        # NOT reach it, or the comparison would cancel the DFT error out
+        e_f32 = np.asarray(make_embed(None, ref_cfg=clap_mod.CLAPConfig())(params, gw))
         cos = np.sum(e_mode * e_f32, axis=-1)
         t = np.asarray(text_embeds)
         agree = float(
@@ -138,35 +147,41 @@ def bench_jax_tpu() -> tuple[float, float | None]:
         sims = out["normalized"] @ text_embeds.T
         return sims.argmax(-1)
 
-    # N iterations inside ONE jitted program, chained through a data
-    # dependency: per-dispatch relay latency (~30 ms through the device
-    # tunnel) would otherwise dominate, and plain block_until_ready
-    # under-reports on async relays.
+    # Iterations chained through a data dependency inside ONE jitted
+    # program (queue tricks can't skew it), timed at TWO scan lengths with
+    # the per-iter time taken from the DIFFERENCE: the per-dispatch relay
+    # latency (~30 ms through the device tunnel) cancels exactly instead of
+    # taxing the number ~5% when amortized over 10 iters.
     n_iters = 10
 
-    @jax.jit
-    def multi(params, wav):
-        def body(carry, _):
-            preds = zero_shot(params, wav + carry * 1e-12)
-            return preds[0].astype(jnp.float32), None
-        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iters)
-        return s
+    def make_multi(length):
+        @jax.jit
+        def multi(params, wav):
+            def body(carry, _):
+                preds = zero_shot(params, wav + carry * 1e-12)
+                return preds[0].astype(jnp.float32), None
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
+            return s
+        return multi
 
     wav = jnp.asarray(make_inputs(BATCH))
-    compiled = jax.jit(multi).lower(params, wav).compile()
     # analytical FLOPs: XLA's cost_analysis excludes custom-call (Pallas)
     # kernels, which deflates MFU once the fused kernels carry the math
     from audio_residual_tpu.utils.profiling import htsat_flops_per_clip
 
     flops = htsat_flops_per_clip(cfg.audio) * BATCH * n_iters
 
-    float(np.asarray(compiled(params, wav)))  # warm + sync
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(np.asarray(compiled(params, wav)))
-        times.append(time.perf_counter() - t0)
-    dt_program = float(np.median(times))
+    def timed(length):
+        compiled = jax.jit(make_multi(length)).lower(params, wav).compile()
+        float(np.asarray(compiled(params, wav)))  # warm + sync
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(compiled(params, wav)))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    dt_program = max(timed(2 * n_iters) - timed(n_iters), 1e-9)
     clips_per_sec = BATCH / (dt_program / n_iters)
     device = jax.devices()[0]
     peak = _peak_flops(device)
