@@ -77,7 +77,8 @@ def pack_bias_groups(bias: jnp.ndarray, hg: int) -> jnp.ndarray:
     )
 
 
-def attention_core(qkv, bias_ref, mask, *, g, n, c, nh, scale, bdot, hg=1):
+def attention_core(qkv, bias_ref, mask, *, g, n, c, nh, scale, bdot, hg=1,
+                   mxu_dtype=None):
     """Windowed multi-head attention inner loop -> ``[g*n, c]`` (pre-proj).
 
     ``qkv [g*n, 3c]``, ``bias_ref`` indexable per head (hg=1, ``[nh, n, n]``
@@ -111,16 +112,20 @@ def attention_core(qkv, bias_ref, mask, *, g, n, c, nh, scale, bdot, hg=1):
         return jnp.concatenate(outs, axis=-1)
 
     w = hg * hd  # group channel width
+    # packed-operand build in the MXU dtype when one is set: the dots round
+    # K/V to it anyway, so pre-casting is numerically identical and the
+    # concats + blockmask multiplies move half the bytes
+    op_dtype = mxu_dtype or jnp.float32
     # block mask: row block h (head) keeps only its own hd channel slice
     row = jax.lax.broadcasted_iota(jnp.int32, (hg * n, w), 0) // n
     col = jax.lax.broadcasted_iota(jnp.int32, (hg * n, w), 1) // hd
-    blockmask = (row == col).astype(jnp.float32)
+    blockmask = (row == col).astype(op_dtype)
     mask_w = jnp.concatenate([mask] * hg, axis=2)  # [g, n, hg*n]
     for grp in range(nh // hg):
         h0 = grp * hg
         qg = qkv[:, h0 * hd : h0 * hd + w].reshape(g, n, w) * scale
-        kg = qkv[:, c + h0 * hd : c + h0 * hd + w].reshape(g, n, w)
-        vg = qkv[:, 2 * c + h0 * hd : 2 * c + h0 * hd + w].reshape(g, n, w)
+        kg = qkv[:, c + h0 * hd : c + h0 * hd + w].reshape(g, n, w).astype(op_dtype)
+        vg = qkv[:, 2 * c + h0 * hd : 2 * c + h0 * hd + w].reshape(g, n, w).astype(op_dtype)
         kw = jnp.concatenate([kg] * hg, axis=1) * blockmask  # [g, hg*n, w]
         vw = jnp.concatenate([vg] * hg, axis=1) * blockmask
         s = bdot(qg, kw, (((2,), (2,)), ((0,), (0,))))  # [g, n, hg*n]

@@ -75,22 +75,22 @@ def _kernel(x_ref, a_ref, n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
 
     @pl.when(k == 0)
     def _init():
-        a = a_ref[:]
+        a = a_ref[:].astype(jnp.float32)
         if use_residual:
             proj = jnp.dot(a - rmean_ref[:], rbasis_ref[:].T,
                            preferred_element_type=jnp.float32)
             a = jnp.dot(proj * rlam_ref[:], rbasis_ref[:],
                         preferred_element_type=jnp.float32)
-        h1 = x_ref[:] + a
-        z_ref[:] = _ln(h1, n2s_ref[:], n2b_ref[:])
+        h1 = x_ref[:].astype(jnp.float32) + a
+        z_ref[:] = _ln(h1, n2s_ref[:], n2b_ref[:]).astype(z_ref.dtype)
         o_ref[:] = h1 + bfc2_ref[:]  # fc2 bias folded in once per phase
 
     if double_ffn:
         @pl.when(k == n_chunks)
         def _second_phase():
             # first FFN complete in o_ref; re-seed for the quirk's second pass
-            y2 = x_ref[:] + o_ref[:]
-            z_ref[:] = _ln(y2, n2s_ref[:], n2b_ref[:])
+            y2 = x_ref[:].astype(jnp.float32) + o_ref[:]
+            z_ref[:] = _ln(y2, n2s_ref[:], n2b_ref[:]).astype(z_ref.dtype)
             o_ref[:] = y2 + bfc2_ref[:]
 
     def dot(a, b):  # MXU matmul, optional bf16 inputs, f32 accumulate
@@ -130,6 +130,14 @@ def fused_residual_ffn(
         rmean = jnp.zeros((c,), jnp.float32)
         rlam = jnp.zeros((1,), jnp.float32)
 
+    # bf16 AMP: x/a blocks keep the caller's dtype (halved input DMA) and
+    # the streamed fc1/fc2 chunks ship pre-cast (halved weight-stream
+    # traffic — this kernel is weight-stream-bound at HTSAT layer 3).
+    # The OUTPUT stays f32: o_ref is the cross-chunk accumulator.
+    store = x.dtype if mxu_dtype is not None else jnp.float32
+    if mxu_dtype is not None:
+        wfc1, wfc2 = wfc1.astype(mxu_dtype), wfc2.astype(mxu_dtype)
+
     kernel = functools.partial(
         _kernel, n_chunks=n_chunks,
         use_residual=rparams is not None, double_ffn=double_ffn,
@@ -153,6 +161,9 @@ def fused_residual_ffn(
         ],
         out_specs=pl.BlockSpec((r, c), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, c), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((r, c), jnp.float32)],
-    )(x.astype(jnp.float32), a.astype(jnp.float32), n2s, n2b,
+        # z holds the LN output pre-rounded to the MXU dtype: the fc1 dot
+        # would round it anyway, and a bf16 scratch skips re-converting
+        # r*c elements on every one of the n_chunks grid steps
+        scratch_shapes=[pltpu.VMEM((r, c), mxu_dtype or jnp.float32)],
+    )(x.astype(store), a.astype(store), n2s, n2b,
       wfc1, bfc1.reshape(1, hidden), wfc2, bfc2, rbasis, rmean, rlam)

@@ -111,12 +111,14 @@ def _kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         return jax.lax.dot_general(a, b, dimension_numbers=dims,
                                    preferred_element_type=jnp.float32)
 
-    x = x_ref[:].reshape(g * n, c)
+    # bf16 AMP stores x/out in bf16 (halved DMA); all in-kernel math that
+    # is not an MXU dot stays f32 — LN stats, residual adds, epilogue
+    x = x_ref[:].reshape(g * n, c).astype(jnp.float32)
     y = _ln(x, n1s_ref[:], n1b_ref[:])
     qkv = dot(y, wqkv_ref[:]) + bqkv_ref[:]
     a = common.attention_core(
         qkv, bias_ref, mask_ref[:], g=g, n=n, c=c, nh=nh, scale=scale,
-        bdot=bdot, hg=hg,
+        bdot=bdot, hg=hg, mxu_dtype=mxu_dtype,
     )
     a = dot(a, wproj_ref[:]) + bproj_ref[:]
 
@@ -141,7 +143,7 @@ def _kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         # reference patched-forward quirk (`src/residual.py:95-96`)
         y2 = x + y
         y = y2 + ffn(y2)
-    o_ref[:] = y.reshape(g, n, c)
+    o_ref[:] = y.reshape(g, n, c).astype(o_ref.dtype)
 
 
 def _xla_twin(x, blk, rparams, *, nh, window, nw, shift, resolution, double_ffn):
@@ -236,6 +238,13 @@ def fused_swin_block(
         rlam = jnp.zeros((1,), jnp.float32)
 
     bias = common.pack_bias_groups(bias, hg)
+    # bf16 AMP: preserve the caller's activation dtype for the x/out blocks
+    # (measured 1.55x on the L0 GEMM chain vs forced-f32 storage) and ship
+    # the big weights pre-cast so the kernel never converts them per program
+    store = x.dtype if mxu_dtype is not None else jnp.float32
+    if mxu_dtype is not None:
+        wqkv, wproj = wqkv.astype(mxu_dtype), wproj.astype(mxu_dtype)
+        wfc1, wfc2 = wfc1.astype(mxu_dtype), wfc2.astype(mxu_dtype)
     kernel = functools.partial(
         _kernel, g=g, n=n, c=c, nh=nh, scale=scale,
         use_residual=use_residual, double_ffn=double_ffn, mxu_dtype=mxu_dtype,
@@ -261,8 +270,8 @@ def fused_swin_block(
         out_specs=pl.BlockSpec(
             (g, n, c), lambda i, j: (i * (nw // g) + j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bnw, n, c), jnp.float32),
-    )(x.astype(jnp.float32), n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b,
+        out_shape=jax.ShapeDtypeStruct((bnw, n, c), store),
+    )(x.astype(store), n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b,
       wfc1, bfc1, wfc2, bfc2, bias, mask, rbasis, rmean, rlam)
 
 
@@ -277,8 +286,11 @@ def _split_block(x, flat_params, nh, window, nw, shift, resolution,
     (n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1, bfc1, wfc2, bfc2,
      table, *res) = flat_params
     bnw, n, c = x.shape
-    x = x.astype(jnp.float32)
-    y = _ln(x, n1s, n1b)
+    store = x.dtype if mxu_dtype is not None else jnp.float32
+    x = x.astype(store)
+    # LN1 stats in f32 (XLA fuses it into the qkv GEMM's producer); the
+    # normalized activations travel to the W-MSA kernel in the storage dtype
+    y = _ln(x.astype(jnp.float32), n1s, n1b).astype(store)
     a = fwa.fused_window_attention(
         y, wqkv, bqkv, wproj, bproj, table, nh, window, nw, shift, resolution,
         mxu_dtype=mxu_dtype,
@@ -335,8 +347,11 @@ def _fsb_bwd(nh, window, nw, shift, resolution, use_residual, double_ffn,
         return _xla_twin(x_, blk, rparams, nh=nh, window=window, nw=nw,
                          shift=shift, resolution=resolution, double_ffn=double_ffn)
 
-    _, vjp = jax.vjp(twin, x, flat_params)
-    return vjp(g)
+    # twin runs f32 (the forward's bf16 storage is a rounding of the same
+    # values); cotangent arrives in the forward's storage dtype
+    _, vjp = jax.vjp(twin, x.astype(jnp.float32), flat_params)
+    dx, dp = vjp(g.astype(jnp.float32))
+    return dx.astype(x.dtype), dp
 
 
 fused_swin_block.defvjp(_fsb_fwd, _fsb_bwd)

@@ -130,10 +130,10 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
     qkv = dot(xw, wqkv_ref[:]) + bqkv_ref[:]
     o = common.attention_core(
         qkv, bias_ref, mask_ref[:], g=g, n=n, c=c, nh=nh, scale=scale,
-        bdot=bdot, hg=hg,
+        bdot=bdot, hg=hg, mxu_dtype=mxu_dtype,
     )
     out = dot(o, wproj_ref[:]) + bproj_ref[:]
-    o_ref[:] = out.reshape(g, n, c)
+    o_ref[:] = out.reshape(g, n, c).astype(o_ref.dtype)
 
 
 def _xla_reference(x, wqkv, bqkv, wproj, bproj, rel_bias_table, *, nh, window,
@@ -209,7 +209,9 @@ def _wide_kernel(y_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     @pl.when(k > ka)
     def _proj_phase():
         pc = o_ref.shape[-1]
-        o_ref[:] = (dot(a_scr[:], wproj_ref[:]) + bproj_ref[0]).reshape(g, n, pc)
+        o_ref[:] = (dot(a_scr[:], wproj_ref[:]) + bproj_ref[0]).reshape(
+            g, n, pc
+        ).astype(o_ref.dtype)
 
 
 def _wide_attention(x, wqkv, bqkv, wproj, bproj, bias, mask,
@@ -221,6 +223,14 @@ def _wide_attention(x, wqkv, bqkv, wproj, bproj, bias, mask,
     ka = 3 * c // qc
     kc = c // pc
     n_k = ka + 1 + kc
+    # bf16 AMP: keep the x block AND the streamed weight chunks in bf16 —
+    # halves both the per-phase y re-reads and the weight-stream traffic
+    # (this kernel is weight-stream-bound at c >= 1024). f32 accumulate and
+    # f32 scores/softmax unchanged; storage rounding == the XLA twin's
+    # pre-cast, so parity tolerances are unaffected.
+    store = x.dtype if mxu_dtype is not None else jnp.float32
+    if mxu_dtype is not None:
+        wqkv, wproj = wqkv.astype(mxu_dtype), wproj.astype(mxu_dtype)
     kernel = functools.partial(_wide_kernel, g=g, n=n, c=c, nh=nh,
                                scale=scale, ka=ka, mxu_dtype=mxu_dtype)
     qidx = lambda i, j, k: (0, jnp.minimum(k, ka - 1))  # noqa: E731
@@ -243,12 +253,12 @@ def _wide_attention(x, wqkv, bqkv, wproj, bproj, bias, mask,
             lambda i, j, k: (i * (nw // g) + j, 0, jnp.clip(k - ka - 1, 0, kc - 1)),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bnw, n, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bnw, n, c), store),
         scratch_shapes=[
             pltpu.VMEM((ka, g * n, qc), jnp.float32),
             pltpu.VMEM((g * n, c), jnp.float32),
         ],
-    )(x.astype(jnp.float32), wqkv, bqkv.reshape(1, 3 * c), wproj,
+    )(x.astype(store), wqkv, bqkv.reshape(1, 3 * c), wproj,
       bproj.reshape(1, c), bias, mask)
 
 
@@ -303,6 +313,12 @@ def fused_window_attention(
 
     bias = common.pack_bias_groups(bias, hg)
     groups = nw // g
+    # bf16 AMP: preserve the caller's activation dtype through the kernel
+    # (x arrives bf16 from the AMP layer loop — forcing f32 would add a
+    # cast + double the x/out DMA; measured 1.55x on the L0 GEMM chain)
+    store = x.dtype if mxu_dtype is not None else jnp.float32
+    if mxu_dtype is not None:
+        wqkv, wproj = wqkv.astype(mxu_dtype), wproj.astype(mxu_dtype)
     kernel = functools.partial(_kernel, g=g, n=n, c=c, nh=nh, scale=scale,
                                mxu_dtype=mxu_dtype, hg=hg)
     return pl.pallas_call(
@@ -320,8 +336,8 @@ def fused_window_attention(
         out_specs=pl.BlockSpec(
             (g, n, c), lambda i, j: (i * (nw // g) + j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bnw, n, c), jnp.float32),
-    )(x.astype(jnp.float32), wqkv, bqkv, wproj, bproj, bias, mask)
+        out_shape=jax.ShapeDtypeStruct((bnw, n, c), store),
+    )(x.astype(store), wqkv, bqkv, wproj, bproj, bias, mask)
 
 
 def _fwa_fwd(x, wqkv, bqkv, wproj, bproj, rel_bias_table,
@@ -336,15 +352,18 @@ def _fwa_fwd(x, wqkv, bqkv, wproj, bproj, rel_bias_table,
 def _fwa_bwd(nh, window, num_windows_per_image, shift, resolution, mxu_dtype,
              residuals, g):
     x, wqkv, bqkv, wproj, bproj, rel_bias_table = residuals
+    # twin runs f32 (the forward's bf16 storage is a rounding of the same
+    # values); cotangent arrives in the forward's storage dtype
     _, vjp = jax.vjp(
         functools.partial(
             _xla_reference, nh=nh, window=window,
             num_windows_per_image=num_windows_per_image, shift=shift,
             resolution=resolution,
         ),
-        x, wqkv, bqkv, wproj, bproj, rel_bias_table,
+        x.astype(jnp.float32), wqkv, bqkv, wproj, bproj, rel_bias_table,
     )
-    return vjp(g)
+    dx, *dws = vjp(g.astype(jnp.float32))
+    return (dx.astype(x.dtype), *dws)
 
 
 fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)

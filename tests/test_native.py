@@ -28,6 +28,16 @@ def test_quantize_matches_torch_semantics(rng):
     ref = (torch.clamp(t, -1, 1) * 32767.0).to(torch.int16).to(torch.float32) / 32767.0
     np.testing.assert_array_equal(got, ref.numpy())
 
+    # the JAX path stays f32-only (int16 vector ops are ~38x slower on TPU)
+    # but must remain BIT-identical to the int16 round-trip: every
+    # post-trunc value is an integer <= 32767, exact in f32
+    from audio_residual_tpu.ops import quantize as q
+
+    np.testing.assert_array_equal(np.asarray(q.quantize_roundtrip(x)), ref.numpy())
+    np.testing.assert_array_equal(
+        np.asarray(q.int16_to_float32(q.float32_to_int16(x))), ref.numpy()
+    )
+
 
 def test_pad_or_truncate(rng):
     x = rng.standard_normal(100).astype(np.float32)
