@@ -496,6 +496,20 @@ def reshape_wav2img(x: jnp.ndarray, cfg: HTSATConfig) -> jnp.ndarray:
 
 
 def _proj_conv(p, x, cfg: HTSATConfig):
+    ph, pw = cfg.patch_stride
+    if cfg.patch_size == ph == pw:
+        # non-overlapping patches (every shipped HTSAT config): the conv is
+        # exactly a reshape + one GEMM. XLA's conv lowering at C_in=1/K=16
+        # measured 6.9 us/clip vs 1.4 for the GEMM form (B=128, v5e).
+        b, h, w, cin = x.shape
+        patches = (
+            x.reshape(b, h // ph, ph, w // pw, pw, cin)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b * (h // ph) * (w // pw), ph * pw * cin)
+        )
+        kernel = p["kernel"].reshape(ph * pw * cin, -1).astype(x.dtype)
+        y = patches @ kernel + p["bias"]
+        return y.reshape(b, h // ph, w // pw, -1)
     return jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
@@ -668,6 +682,13 @@ def htsat_apply(
         if train and rng is not None:
             rng, arng = jax.random.split(rng)
             x = spec_augment(arng, x)
+        if compute_dtype is not None:
+            # AMP from the bn0 output on: the bicubic stretch (a matmul) and
+            # the patch-embed GEMM run on the MXU in bf16 and the fold
+            # transposes move half the bytes — torch autocast covers the
+            # same ops. Measured ~0.4% elementwise, washed out like the
+            # bf16 DFT (bench accuracy guard: cos 0.99999+, argmax 100%).
+            x = x.astype(compute_dtype)
         x = reshape_wav2img(x, cfg)  # [B, H, W, 1]
     else:
         mel = batch["mel_fusion"]  # [B, 4, T, F]

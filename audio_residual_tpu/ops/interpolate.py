@@ -77,12 +77,22 @@ def resize_bicubic_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.
     """
     h, w = x.shape[-2], x.shape[-1]
     hi = jax.lax.Precision.HIGHEST
+    # dtype-following: a bf16 input (the AMP path) runs the stretch matmul
+    # on the MXU in bf16 with f32 accumulation (measured 4.6 -> 0.8 us/clip
+    # at B=128); f32 inputs keep the HIGHEST-precision golden semantics
+    amp = x.dtype == jnp.bfloat16
+
+    def apply(m, spec, x):
+        if amp:
+            y = jnp.einsum(spec, m.astype(x.dtype), x,
+                           preferred_element_type=jnp.float32)
+            return y.astype(x.dtype)
+        return jnp.einsum(spec, m, x, precision=hi)
+
     if h != out_h:
-        mh = jnp.asarray(bicubic_matrix(h, out_h))
-        x = jnp.einsum("oh,...hw->...ow", mh, x, precision=hi)
+        x = apply(jnp.asarray(bicubic_matrix(h, out_h)), "oh,...hw->...ow", x)
     if w != out_w:
-        mw = jnp.asarray(bicubic_matrix(w, out_w))
-        x = jnp.einsum("ow,...hw->...ho", mw, x, precision=hi)
+        x = apply(jnp.asarray(bicubic_matrix(w, out_w)), "ow,...hw->...ho", x)
     return x
 
 

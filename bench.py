@@ -32,7 +32,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
-BATCH = int(os.environ.get("BENCH_BATCH", "128"))  # sweep: 64/128/256 -> 1687/1787/1725 clips/s
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))  # r3 sweep (bf16-stored kernels): 128/256 -> 2693/2489 clips/s
 CLIP_SAMPLES = 240000  # ESC-50: 5 s @ 48 kHz
 N_CLASSES = 50
 # bf16 matmul inputs on the MXU (f32 accumulate; LN/softmax/ResiDual
