@@ -497,7 +497,7 @@ def reshape_wav2img(x: jnp.ndarray, cfg: HTSATConfig) -> jnp.ndarray:
 
 def _proj_conv(p, x, cfg: HTSATConfig):
     ph, pw = cfg.patch_stride
-    if cfg.patch_size == ph == pw:
+    if cfg.patch_size == ph == pw and x.shape[1] % ph == 0 and x.shape[2] % pw == 0:
         # non-overlapping patches (every shipped HTSAT config): the conv is
         # exactly a reshape + one GEMM. XLA's conv lowering at C_in=1/K=16
         # measured 6.9 us/clip vs 1.4 for the GEMM form (B=128, v5e).

@@ -48,7 +48,10 @@ def pick_head_group(nh: int, hd: int, n: int) -> int:
     hg=4 when the group's channel width fits one MXU contraction tile
     (4*hd <= 128) and windows are the standard 64 tokens — every HTSAT
     variant (hd=24, n=64) qualifies. ``ARPU_ATTN_HG`` overrides for A/B
-    measurement (\"1\" = plain per-head loop).
+    measurement (\"1\" = plain per-head loop). NOTE: the env var is read at
+    TRACE time — like ``frontend.DFT_MODE``, changing it after a jit trace
+    of the same shapes is a silent no-op; restart the process (or clear
+    the jit caches) between A/B arms.
     """
     env = os.environ.get("ARPU_ATTN_HG", "auto")
     if env not in ("", "auto"):
@@ -130,6 +133,13 @@ def attention_core(qkv, bias_ref, mask, *, g, n, c, nh, scale, bdot, hg=1,
         vw = jnp.concatenate([vg] * hg, axis=1) * blockmask
         s = bdot(qg, kw, (((2,), (2,)), ((0,), (0,))))  # [g, n, hg*n]
         s = s + bias_ref[grp] + mask_w
+        # group-global row max: per-head max subtraction measured -6.6%
+        # end-to-end (hg slice/exp/concat VPU work), and stability only
+        # needs SOME bound. A head sitting >~88 logits below a sibling's
+        # max underflows to e==0 across its row — the denom floor below
+        # turns that pathological case (far outside trained-model logit
+        # ranges; the reference's fp16 AMP overflows even earlier) into a
+        # 0-output head instead of 0/0 = NaN.
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         og = bdot(e, vw, (((2,), (1,)), ((0,), (0,))))  # [g, n, w]
@@ -137,6 +147,6 @@ def attention_core(qkv, bias_ref, mask, *, g, n, c, nh, scale, bdot, hg=1,
         for h in range(hg):
             dh = jnp.sum(e[:, :, h * n : (h + 1) * n], axis=-1, keepdims=True)
             denom.append(jnp.broadcast_to(dh, (g, n, hd)))
-        og = og / jnp.concatenate(denom, axis=2)
+        og = og / jnp.maximum(jnp.concatenate(denom, axis=2), 1e-30)
         outs.append(og.reshape(g * n, w))
     return jnp.concatenate(outs, axis=-1)

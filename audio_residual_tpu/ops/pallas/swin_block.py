@@ -50,6 +50,8 @@ def _block_vmem_need(g: int, n: int, c: int, nh: int, hidden: int, hg: int = 1) 
         + g * n * 3 * c * f32  # qkv
         + 2 * g * nh * n * n * f32  # scores + probs
         + (2 * g * hg * n * hg * hd * f32 if hg > 1 else 0)  # packed K/V wide
+        # attention_core's hg>1 extras: mask_w [g, n, hg*n] + blockmask
+        + ((g * n * hg * n + hg * n * hg * hd) * f32 if hg > 1 else 0)
         + g * n * hidden * f32  # mlp hidden
         + (3 * c * c + c * c + 2 * c * hidden) * f32  # weights
         + (nh + g) * n * n * f32  # bias + mask

@@ -45,6 +45,8 @@ def _vmem_need(g: int, n: int, c: int, nh: int, hg: int = 1) -> int:
         + g * n * 3 * c * f32  # qkv
         + 2 * g * nh * n * n * f32  # scores + probs
         + (2 * g * hg * n * hg * hd * f32 if hg > 1 else 0)  # packed K/V wide
+        # attention_core's hg>1 extras: mask_w [g, n, hg*n] + blockmask
+        + ((g * n * hg * n + hg * n * hg * hd) * f32 if hg > 1 else 0)
         + (3 * c * c + c * c) * f32  # weights
         + (nh + g) * n * n * f32  # bias + mask blocks
     )

@@ -157,15 +157,19 @@ def train_and_eval_linear_head(
     lr: float = 1e-3,
     mlp: bool = False,
     seed: int = 0,
+    max_len: int | None = None,
 ) -> list[dict]:
     """K-fold linear-probe harness (`src/linear.py:56-94`), same ``.npz``
-    schema as the ResiDual/baseline evals."""
+    schema as the ResiDual/baseline evals. ``max_len`` defaults to
+    ``cfg.audio.clip_samples`` (the length the encoder consumes)."""
+    if max_len is None:
+        max_len = cfg.audio.clip_samples
     out_dir = os.path.join(save_dir, dataset_name, "Linear")
     os.makedirs(out_dir, exist_ok=True)
     results = []
     for i, (train_batches, val_batches) in enumerate(folds):
-        tr_x, tr_y = embed_dataset(params, cfg, train_batches())
-        va_x, va_y = embed_dataset(params, cfg, val_batches())
+        tr_x, tr_y = embed_dataset(params, cfg, train_batches(), max_len=max_len)
+        va_x, va_y = embed_dataset(params, cfg, val_batches(), max_len=max_len)
         head, history = train_linear_head(
             jax.random.PRNGKey(seed + i), tr_x, tr_y, n_classes, epochs=epochs, lr=lr, mlp=mlp
         )

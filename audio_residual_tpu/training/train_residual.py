@@ -248,11 +248,19 @@ def train_and_evaluate_residual(
     inject_layers: tuple[int, ...] = (0,),
     double_ffn_compat: bool = True,
     save_lambda: bool = True,
+    max_len: int | None = None,
 ) -> list[dict]:
     """K-fold CV harness (`src/evaluation.py:19-71`): per fold, load the
     per-(layer, fold) PCA basis, train λ, evaluate, save the ``.npz``
     artifact (same schema) — plus the trained λ (fixing the reference's
-    persistence gap)."""
+    persistence gap).
+
+    ``max_len`` defaults to ``cfg.audio.clip_samples`` so every stage
+    featurizes at the length the model (and any PCA basis fit through it)
+    actually consumes — the reference hardcodes 480000 (`residual.py:218`),
+    which is only correct for the full-size config."""
+    if max_len is None:
+        max_len = cfg.audio.clip_samples
     layers_str = "_".join(map(str, inject_layers))
     out_dir = os.path.join(save_dir, dataset_name, "ResiDual")
     results = []
@@ -266,10 +274,12 @@ def train_and_evaluate_residual(
         trained, history = train_residual(
             params, cfg, train_batches, text_embeds, residual,
             epochs=epochs, lr=lr, double_ffn_compat=double_ffn_compat,
+            max_len=max_len,
         )
         preds, targets, sims = evaluate_zero_shot(
             params, cfg, val_batches(), text_embeds,
             residual=trained, double_ffn_compat=double_ffn_compat,
+            max_len=max_len,
         )
         save_file = os.path.join(out_dir, f"layers_{layers_str}_evalfold_{i}.npz")
         _kfold_npz(save_file, preds, targets, sims)
@@ -290,12 +300,17 @@ def evaluate_baseline_clap(
     folds: list,
     text_embeds: jnp.ndarray,
     save_dir: str,
+    max_len: int | None = None,
 ) -> list[dict]:
     """Zero-shot baseline per fold (`src/evaluation.py:112-128`)."""
+    if max_len is None:
+        max_len = cfg.audio.clip_samples
     out_dir = os.path.join(save_dir, dataset_name, "Baseline")
     results = []
     for i, (_, val_batches) in enumerate(folds):
-        preds, targets, sims = evaluate_zero_shot(params, cfg, val_batches(), text_embeds)
+        preds, targets, sims = evaluate_zero_shot(
+            params, cfg, val_batches(), text_embeds, max_len=max_len
+        )
         _kfold_npz(os.path.join(out_dir, f"evalfold_{i}.npz"), preds, targets, sims)
         results.append({"fold": i, "accuracy": float((preds == targets).mean())})
     return results
@@ -315,7 +330,9 @@ def train_with_config(
     """Single sweep-run (`src/training.py:72-140`): pick eval fold, load
     per-(layer, fold) PCA, train, track best val accuracy. ``config`` keys:
     ``lr``, ``epochs``, ``inject_layers``, ``eval_fold``; compatible with the
-    reference's W&B sweep grid (nb2 cell 15)."""
+    reference's W&B sweep grid (nb2 cell 15). ``config["max_len"]`` defaults
+    to ``cfg.audio.clip_samples`` (the length the encoder consumes)."""
+    max_len = config.get("max_len", cfg.audio.clip_samples)
     fold = config.get("eval_fold", 0)
     inject_layers = tuple(config.get("inject_layers", (0,)))
     train_batches, val_batches = folds[fold]
@@ -327,7 +344,8 @@ def train_with_config(
     lam, frozen = _split_residual(residual)
     optimizer = optax.adam(config.get("lr", 0.01))
     opt_state = optimizer.init(lam)
-    step, loss_fn = make_zero_shot_step(params, cfg, text_embeds, frozen, optimizer)
+    step, loss_fn = make_zero_shot_step(params, cfg, text_embeds, frozen, optimizer,
+                                        max_len=max_len)
     history = []
     for e in range(config.get("epochs", 10)):
         tl, tc, tn = 0.0, 0, 0
@@ -337,7 +355,8 @@ def train_with_config(
             tc += int(c)
             tn += len(labels)
         preds, targets, _ = evaluate_zero_shot(
-            params, cfg, val_batches(), text_embeds, residual=_merge_residual(lam, frozen)
+            params, cfg, val_batches(), text_embeds,
+            residual=_merge_residual(lam, frozen), max_len=max_len,
         )
         val_acc = float((preds == targets).mean())
         best_val_acc = max(best_val_acc, val_acc)

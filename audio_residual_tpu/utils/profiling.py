@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["trace", "annotate", "measure_throughput", "htsat_flops_per_clip"]
+__all__ = ["trace", "annotate", "measure_seconds", "measure_throughput",
+           "htsat_flops_per_clip"]
 
 
 @contextlib.contextmanager
@@ -35,42 +36,49 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
-def measure_throughput(forward, example, *, iters: int = 10, batch_axis: int = 0) -> dict:
-    """Reliable steady-state timing: executions of ``forward`` are chained
-    through a data dependency inside ONE jitted program, so queue tricks
-    cannot skew the number — and the program is timed at TWO lengths
-    (``iters`` and ``2*iters``) with the per-iter time taken from the
-    DIFFERENCE, so the per-dispatch relay latency (~30 ms through the axon
-    tunnel — same order as a ~1 ms kernel amortized over 10 iters) cancels
-    exactly instead of inflating short programs.
+def measure_seconds(fn, args, *, iters: int = 10, reps: int = 3) -> float:
+    """Seconds per call of ``fn(*args)`` — the ONE timing core every perf
+    tool here uses (`bench.py`, `examples/perf_breakdown.py`,
+    :func:`measure_throughput`).
 
-    ``forward(example) -> array``. Returns {seconds_per_iter, items_per_sec}.
+    Method: ``iters`` executions chained through a data dependency inside
+    ONE jitted ``lax.scan`` (queue tricks cannot skew it), timed at TWO
+    scan lengths (``iters`` and ``2*iters``) with the per-iter time taken
+    from the DIFFERENCE — the per-dispatch relay latency (~30 ms through
+    the axon tunnel, same order as a ~1 ms kernel amortized over 10 iters)
+    cancels exactly instead of inflating short programs.
     """
 
     def make(length):
         @jax.jit
-        def multi(x):
+        def multi(*a):
             def body(carry, _):
-                out = forward(x + carry * 1e-12)
-                return jnp.mean(out).astype(jnp.float32), None
+                out = fn(*jax.tree.map(
+                    lambda t: (t + carry * 1e-12).astype(t.dtype), a))
+                leaf = jax.tree.leaves(out)[0]
+                return jnp.mean(leaf.astype(jnp.float32)), None
 
             s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
             return s
 
         return multi
 
-    short, long = make(iters), make(2 * iters)
-
-    def timed(fn, reps=3):
-        float(np.asarray(fn(example)))  # compile + sync
+    def timed(m):
+        float(np.asarray(m(*args)))  # compile + sync
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(np.asarray(fn(example)))
+            float(np.asarray(m(*args)))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    dt = max(timed(long) - timed(short), 1e-9) / iters
+    return max(timed(make(2 * iters)) - timed(make(iters)), 1e-9) / iters
+
+
+def measure_throughput(forward, example, *, iters: int = 10, batch_axis: int = 0) -> dict:
+    """Steady-state timing of ``forward(example) -> array`` via
+    :func:`measure_seconds`. Returns {seconds_per_iter, items_per_sec}."""
+    dt = measure_seconds(forward, (example,), iters=iters)
     return {
         "seconds_per_iter": dt,
         "items_per_sec": example.shape[batch_axis] / dt,

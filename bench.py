@@ -69,7 +69,7 @@ def _peak_flops(device) -> float | None:
     return None
 
 
-def bench_jax_tpu() -> tuple[float, float | None]:
+def bench_jax_tpu() -> tuple[float, float | None, dict]:
     import jax
 
     # persistent compile cache: remote TPU compiles vary 20 s - 20 min under
@@ -147,48 +147,29 @@ def bench_jax_tpu() -> tuple[float, float | None]:
         sims = out["normalized"] @ text_embeds.T
         return sims.argmax(-1)
 
-    # Iterations chained through a data dependency inside ONE jitted
-    # program (queue tricks can't skew it), timed at TWO scan lengths with
-    # the per-iter time taken from the DIFFERENCE: the per-dispatch relay
-    # latency (~30 ms through the device tunnel) cancels exactly instead of
-    # taxing the number ~5% when amortized over 10 iters.
-    n_iters = 10
-
-    def make_multi(length):
-        @jax.jit
-        def multi(params, wav):
-            def body(carry, _):
-                preds = zero_shot(params, wav + carry * 1e-12)
-                return preds[0].astype(jnp.float32), None
-            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
-            return s
-        return multi
+    # `utils/profiling.measure_seconds`: iterations chained through a data
+    # dependency inside ONE jitted scan (queue tricks can't skew it), timed
+    # at TWO scan lengths with the per-iter time from the DIFFERENCE — the
+    # ~30 ms per-dispatch relay latency cancels exactly instead of taxing
+    # the number ~5% when amortized over 10 iters.
+    from audio_residual_tpu.utils.profiling import (
+        htsat_flops_per_clip,
+        measure_seconds,
+    )
 
     wav = jnp.asarray(make_inputs(BATCH))
     # analytical FLOPs: XLA's cost_analysis excludes custom-call (Pallas)
     # kernels, which deflates MFU once the fused kernels carry the math
-    from audio_residual_tpu.utils.profiling import htsat_flops_per_clip
+    flops = htsat_flops_per_clip(cfg.audio) * BATCH
 
-    flops = htsat_flops_per_clip(cfg.audio) * BATCH * n_iters
-
-    def timed(length):
-        compiled = jax.jit(make_multi(length)).lower(params, wav).compile()
-        float(np.asarray(compiled(params, wav)))  # warm + sync
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(np.asarray(compiled(params, wav)))
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times))
-
-    dt_program = max(timed(2 * n_iters) - timed(n_iters), 1e-9)
-    clips_per_sec = BATCH / (dt_program / n_iters)
+    dt_iter = measure_seconds(lambda w: zero_shot(params, w), (wav,), iters=10)
+    clips_per_sec = BATCH / dt_iter
     device = jax.devices()[0]
     peak = _peak_flops(device)
     if peak is None:
         print(f"# no peak-FLOPs entry for device kind {device.device_kind!r}; "
               "mfu omitted", file=sys.stderr)
-    mfu = (flops / dt_program / peak) if (flops and peak) else None
+    mfu = (flops / dt_iter / peak) if (flops and peak) else None
     guard = accuracy_guard()
     return clips_per_sec, mfu, guard
 

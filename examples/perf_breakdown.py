@@ -20,7 +20,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -33,36 +32,11 @@ DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 
 
 def measure(fn, args, iters=10, reps=3) -> float:
-    """us per call of ``fn(*args)``: scan-amortized inside one jit, timed at
-    TWO scan lengths with the per-iter time from the difference so the
-    ~30 ms relay dispatch latency cancels exactly (amortizing it over 10
-    iters would add ~3 ms — larger than most stages here)."""
-    import jax
-    import jax.numpy as jnp
+    """us per call of ``fn(*args)`` — `utils/profiling.measure_seconds`
+    (the shared RTT-cancelling two-length scan core) in microseconds."""
+    from audio_residual_tpu.utils.profiling import measure_seconds
 
-    def make(length):
-        @jax.jit
-        def multi(*args):
-            def body(carry, _):
-                out = fn(*jax.tree.map(lambda a: (a + carry * 1e-12).astype(a.dtype), args))
-                leaf = jax.tree.leaves(out)[0]
-                return jnp.mean(leaf.astype(jnp.float32)), None
-
-            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
-            return s
-
-        return multi
-
-    def timed(m):
-        float(np.asarray(m(*args)))  # compile + sync
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(m(*args)))
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times))
-
-    return max(timed(make(2 * iters)) - timed(make(iters)), 1e-9) / iters * 1e6
+    return measure_seconds(fn, args, iters=iters, reps=reps) * 1e6
 
 
 def main():

@@ -196,6 +196,19 @@ def main() -> int:
                         / np.abs(np.asarray(hi)).max())
             assert rel < 0.02, (tag, rel)
             out[f"{tag}_rel_err"] = rel
+
+            # bf16 activation storage (the AMP layer loop's path): bf16 x
+            # in -> bf16 out on real Mosaic, within bf16 rounding of the
+            # HIGHEST-precision twin
+            got_bf = jax.jit(lambda x_: fsb.fused_swin_block(
+                x_.astype(jnp.bfloat16), flat, nh, 8, nw_, 0, res_, False,
+                False, jnp.bfloat16))(xb)
+            assert got_bf.dtype == jnp.bfloat16, tag
+            rel_bf = float(
+                np.abs(np.asarray(got_bf, dtype=np.float32) - np.asarray(hi)).max()
+                / np.abs(np.asarray(hi)).max())
+            assert rel_bf < 0.03, (tag, rel_bf)
+            out[f"{tag}_bf16_rel_err"] = rel_bf
         return out
 
     stage("compiled_kernel_parity", s5)

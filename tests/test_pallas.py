@@ -333,6 +333,30 @@ def test_fused_block_bf16_mxu(rng):
     assert rel2 < 0.03, rel2
 
 
+def test_packed_attention_underflow_guard(rng):
+    """A head whose scores sit ~200 logits below a packed sibling's max
+    must degrade to a 0-output head (denominator floor), never 0/0 NaN
+    (`common.attention_core` group-global max note)."""
+    from audio_residual_tpu.ops.pallas import common as pc
+
+    g, n, nh, hg, hd = 1, 8, 4, 4, 8
+    c = nh * hd
+    q = np.zeros((g * n, 3 * c), np.float32)
+    # head 0's keys huge -> its scores dominate the group max; head 2's
+    # q.k products sit hundreds below after the global-max subtraction
+    q[:, :] = 0.1
+    q[:, c : c + hd] = 150.0   # head 0 K -> group row max ~ +120
+    q[:, c + 2 * hd : c + 3 * hd] = -150.0  # head 2 K -> exp(-240) == 0.0
+    qkv = jnp.asarray(q)
+    bias = jnp.zeros((nh // hg, n, hg * n), jnp.float32)
+    mask = jnp.zeros((g, n, n), jnp.float32)
+    bdot = lambda a, b, dims: jax.lax.dot_general(  # noqa: E731
+        a, b, dimension_numbers=dims, preferred_element_type=jnp.float32)
+    out = pc.attention_core(qkv, bias, mask, g=g, n=n, c=c, nh=nh,
+                            scale=1.0, bdot=bdot, hg=hg)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_fused_block_bf16_activation_storage(rng):
     """bf16 x in -> bf16 out under ``mxu_dtype=bfloat16`` (the AMP layer
     loop keeps inter-block activations bf16; forcing f32 storage would add
