@@ -20,7 +20,6 @@ against the hardware ceiling, not only the torch-CPU baseline.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys

@@ -11,11 +11,8 @@ Run: ``python examples/1_analyze_clap_attention.py --ckpt 630k-audioset-best.pt`
 from __future__ import annotations
 
 import argparse
-import functools
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from audio_residual_tpu.data.datasets import get_fold_loaders
 from audio_residual_tpu.data.featurize import featurize_batch

@@ -11,7 +11,6 @@ Run: ``python examples/2_apply_residual_to_clap.py --ckpt ... --layers 0``
 from __future__ import annotations
 
 import argparse
-import functools
 import itertools
 import json
 import os
@@ -19,7 +18,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from audio_residual_tpu.data.datasets import DATASETS, class_prompts, get_fold_loaders
+from audio_residual_tpu.data.datasets import class_prompts, get_fold_loaders
 from audio_residual_tpu.data.featurize import featurize_batch
 from audio_residual_tpu.models import clap as clap_mod
 from audio_residual_tpu.module import CLAPModule
