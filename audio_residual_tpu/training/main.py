@@ -138,6 +138,7 @@ def main(argv=None) -> dict:
     step_fn = make_train_step(
         cfg, optimizer, mlp_loss=args.clap_mlploss or args.mlp_loss,
         compute_dtype=compute_dtype, freeze_text=args.freeze_text,
+        remat=args.remat,
     )
 
     start_epoch = 0

@@ -120,6 +120,11 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--precision", type=str, default="amp",
                    choices=["amp", "fp16", "fp32", "bf16"],
                    help="amp/bf16 -> bf16 MXU compute; fp16/fp32 -> f32")
+    # TPU-native addition (no reference equivalent): jax.checkpoint over the
+    # dual-tower forward — backward rematerialises activations, trading
+    # FLOPs for HBM so the per-chip batch can grow. Gradients are exact.
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialise tower activations in backward")
 
     # distributed (informational on TPU; the mesh covers all of these)
     p.add_argument("--dist-url", type=str, default="env://")

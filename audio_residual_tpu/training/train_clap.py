@@ -80,13 +80,30 @@ def make_train_step(
     compute_dtype: Any = None,
     freeze_text: bool = False,
     mixup_alpha: float = 0.0,
+    remat: bool = False,
 ) -> Callable:
     """Jitted ``(state, batch, rng) -> (state, metrics)``.
 
     ``batch``: {"waveform" [B, T], "input_ids" [B, L], "attention_mask"
     [B, L]}. Shard the batch leading axis over a data mesh and the same step
     runs 1-chip or N-chip unchanged.
+
+    ``remat=True`` wraps the dual-tower forward in ``jax.checkpoint``: the
+    backward rematerialises activations instead of keeping every layer's
+    intermediates live between forward and backward — the TPU-native
+    memory-for-FLOPs trade (HBM is the usual per-chip batch-size limiter;
+    the reference has no equivalent because torch keeps the graph anyway).
+    Gradients are EXACT — same values as ``remat=False``.
     """
+
+    def apply_towers(params, audio, input_ids, attention_mask, rng):
+        return clap_mod.clap_apply(
+            params, audio, input_ids, attention_mask, cfg,
+            train=True, rng=rng, compute_dtype=compute_dtype,
+        )
+
+    if remat:
+        apply_towers = jax.checkpoint(apply_towers)
 
     def loss_fn(params, batch, rng):
         audio = {"waveform": batch["waveform"]}
@@ -95,15 +112,8 @@ def make_train_step(
             from audio_residual_tpu.utils.misc import do_mixup
 
             audio = {"waveform": do_mixup(batch["waveform"], batch["mixup_lambda"])}
-        out = clap_mod.clap_apply(
-            params,
-            audio,
-            batch["input_ids"],
-            batch.get("attention_mask"),
-            cfg,
-            train=True,
-            rng=rng,
-            compute_dtype=compute_dtype,
+        out = apply_towers(
+            params, audio, batch["input_ids"], batch.get("attention_mask"), rng
         )
         return clip_loss(out, mlp_loss=mlp_loss), out
 

@@ -26,6 +26,30 @@ def _batch(rng, b=4, mixup=False):
     return out
 
 
+def test_remat_grads_exact():
+    """``remat=True`` (jax.checkpoint over the dual-tower forward — the
+    TPU memory-for-FLOPs trade) must produce EXACTLY the same step as the
+    plain path: rematerialisation changes the schedule, not the math."""
+    rng = np.random.default_rng(3)
+    params = tiny_clap_params(0)
+    optimizer = make_optimizer(lr=1e-3)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(7)
+    outs = []
+    for remat in (False, True):
+        step = make_train_step(TINY_CLAP, optimizer, remat=remat)
+        state = init_train_state(params, optimizer)
+        new_state, metrics = step(state, batch, key)
+        outs.append((metrics, new_state))
+    m0, s0 = outs[0]
+    m1, s1 = outs[1]
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(m0["grad_norm"]), float(m1["grad_norm"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0["params"]), jax.tree.leaves(s1["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_bn_running_stats_update():
     rng = np.random.default_rng(0)
     params = tiny_clap_params()
