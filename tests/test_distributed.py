@@ -120,3 +120,12 @@ def test_dp_train_step_replicated_params_stay_synced():
     # params replicated: fully-addressable single value per param
     leaf = state["params"]["logit_scale_a"]
     assert leaf.sharding.is_fully_replicated
+
+    # remat composes with the sharded step (jax.checkpoint under pjit) and
+    # stays exact: same loss as the plain step from the same start state
+    state_r = replicate(mesh, init_train_state(params, optimizer))
+    step_r = make_train_step(TINY_CLAP, optimizer, mlp_loss=True, remat=True)
+    with mesh:
+        _, metrics_r = step_r(state_r, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(metrics_r["loss"]), float(metrics["loss"]), rtol=1e-6)
