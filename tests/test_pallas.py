@@ -408,10 +408,16 @@ def test_fused_frontend_matches_rfft(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
 
 
-@pytest.mark.parametrize("n_fft,hop,fmax", [(1536, 480, 14000.0), (1024, 320, 18000.0)])
+@pytest.mark.parametrize("n_fft,hop,fmax", [
+    (1536, 480, 14000.0), (1024, 320, 18000.0),
+    # hop == n_fft (k=1): the rows_needed round-up guard (advisor r2 #3 —
+    # the pad width could otherwise go negative on blk-aligned frames)
+    (512, 512, 14000.0),
+])
 def test_fused_frontend_other_configs(rng, n_fft, hop, fmax):
     """Non-default FFT/hop/fmax configs (PANN-14-win-1536 etc.): exercises
-    the k=4 row-span and different active-bin trims."""
+    the k=4 row-span, different active-bin trims, and the hop==n_fft k=1
+    edge."""
     from audio_residual_tpu.ops import frontend as fe
     from audio_residual_tpu.ops.pallas import frontend as pfe
 
