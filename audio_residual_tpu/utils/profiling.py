@@ -117,6 +117,10 @@ def htsat_flops_per_clip(
     f += frames * 2 * 2 * n_fft * bins
     # mel projection
     f += frames * 2 * bins * cfg.mel_bins
+    # bicubic time-stretch (reshape_wav2img): a [target_T, frames] matmul
+    # over the mel width (the F axis is size-unchanged and skipped)
+    if frames != cfg.spec_size * cfg.freq_ratio:
+        f += 2 * (cfg.spec_size * cfg.freq_ratio) * frames * cfg.mel_bins
     # patch embed conv: (spec/4)^2 patches x (4x4xC_in -> embed)
     grid = cfg.spec_size // cfg.patch_stride[0]
     in_ch = 4 if getattr(cfg, "enable_fusion", False) and "2d" in str(
