@@ -74,6 +74,14 @@ def main():
     stages = {}
     stages["featurize"] = measure(featurize, (wav,))
     featurized = featurize(wav)
+    if cfg.audio.use_pallas_frontend and jax.default_backend() != "cpu":
+        from audio_residual_tpu.ops.pallas import frontend as pfe
+
+        dft = "bf16" if compute_dtype is not None else None
+        stages["logmel_only"] = measure(
+            lambda w: pfe.fused_logmel(w, cfg.audio.frontend_config, dft_mode=dft),
+            (featurized,),
+        )
     stages["frontend_patch"] = measure(
         lambda w: to_tokens(w, 0), (featurized,)
     )
@@ -110,7 +118,8 @@ def main():
     us_per_clip = {k: round(v / BATCH, 2) for k, v in stages.items()}
     known = sum(
         us_per_clip[k] for k in us_per_clip
-        if k not in ("total", "layer_3+head+sims")
+        # logmel_only is a sub-measurement of frontend_patch, not a stage
+        if k not in ("total", "layer_3+head+sims", "logmel_only")
     )
     summary = {
         "batch": BATCH,
