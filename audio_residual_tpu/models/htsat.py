@@ -693,6 +693,10 @@ def htsat_apply(
     else:
         mel = batch["mel_fusion"]  # [B, 4, T, F]
         mel, bn0_state = frontend.batch_norm_mel(mel, params["bn0"], train=False)
+        if compute_dtype is not None:
+            # same AMP boundary as the non-fusion path: everything after
+            # bn0 (fusion convs/attention, bicubic, patch embed) runs bf16
+            mel = mel.astype(compute_dtype)
         if cfg.enable_fusion and cfg.fusion_type in ("daf_1d", "aff_1d", "iaff_1d"):
             x1d = _fuse_1d(params, mel, longer, cfg)  # [B, T, F]
             if train and rng is not None:
