@@ -79,6 +79,27 @@ def test_pick_group_budget():
         assert fwa._vmem_need(g, 64, c, nh) < fwa._VMEM_BUDGET
 
 
+def test_pick_head_group_gate():
+    """The measured head-group gate (PERF.md): hg=4 for nh<=16 HTSAT heads
+    (hd=24, n=64), hg=1 at L3 (nh=32, where packing measured 3x worse) and
+    whenever the packed width exceeds one MXU contraction tile."""
+    from audio_residual_tpu.ops.pallas import common as pc
+
+    assert pc.pick_head_group(4, 24, 64) == 4    # tiny L0
+    assert pc.pick_head_group(8, 24, 64) == 4    # L1
+    assert pc.pick_head_group(16, 24, 64) == 4   # L2
+    assert pc.pick_head_group(32, 24, 64) == 1   # L3: gated off
+    assert pc.pick_head_group(4, 64, 64) == 2    # 4*64 > 128 lanes -> hg=2
+    assert pc.pick_head_group(3, 24, 64) == 1    # indivisible head count
+    import os
+    from unittest import mock as _mock
+
+    with _mock.patch.dict(os.environ, {"ARPU_ATTN_HG": "2"}):
+        assert pc.pick_head_group(4, 24, 64) == 2  # A/B override
+    with _mock.patch.dict(os.environ, {"ARPU_ATTN_HG": "3"}):
+        assert pc.pick_head_group(4, 24, 64) == 1  # invalid -> plain loop
+
+
 def test_fused_attention_grad_matches_xla(rng):
     """custom-vjp backward (XLA twin) produces correct gradients."""
     c, nh, g, b = 96, 4, 4, 1
