@@ -599,9 +599,13 @@ def _fuse_1d(params, mel, longer, cfg: HTSATConfig):
         fused = fusion_ops.aff(params["fusion_model"], global_mel, ly, kind="1D")
     else:
         fused = fusion_ops.iaff(params["fusion_model"], global_mel, ly, kind="1D")
-    if longer is None:
-        return fused
-    return jnp.where(longer[:, None, None], fused, global_mel)
+    if longer is not None:
+        fused = jnp.where(longer[:, None, None], fused, global_mel)
+    # dtype-following: the f32 biases/BN stats above promote ly (and the
+    # fusion ops' outputs) to f32 — cast back so an AMP (bf16) input keeps
+    # the downstream bicubic stretch + patch embed on the bf16 MXU path;
+    # the fusion internals deliberately stay f32
+    return fused.astype(mel.dtype)
 
 
 def htsat_apply(
@@ -694,8 +698,10 @@ def htsat_apply(
         mel = batch["mel_fusion"]  # [B, 4, T, F]
         mel, bn0_state = frontend.batch_norm_mel(mel, params["bn0"], train=False)
         if compute_dtype is not None:
-            # same AMP boundary as the non-fusion path: everything after
-            # bn0 (fusion convs/attention, bicubic, patch embed) runs bf16
+            # same AMP boundary as the non-fusion path. The fusion convs'
+            # GEMMs take bf16 operands; the fusion-attention internals stay
+            # f32 (their f32 biases/BN promote — _fuse_1d casts back on
+            # return), and the bicubic stretch + patch embed run bf16.
             mel = mel.astype(compute_dtype)
         if cfg.enable_fusion and cfg.fusion_type in ("daf_1d", "aff_1d", "iaff_1d"):
             x1d = _fuse_1d(params, mel, longer, cfg)  # [B, T, F]

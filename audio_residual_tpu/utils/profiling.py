@@ -93,9 +93,10 @@ def htsat_flops_per_clip(
 
     Needed because XLA's ``compiled.cost_analysis()`` excludes custom-call
     (Pallas) FLOPs, which silently deflates MFU once the fused kernels carry
-    most of the math. Elementwise ops (norms, gelu, softmax, bicubic
-    interpolation) are omitted — they are <2% of the matmul/conv total — so
-    treat this as a slight lower bound.
+    most of the math. Counts every matmul/conv including the bicubic
+    time-stretch (a dense matmul since the AMP boundary moved before it);
+    elementwise ops (norms, gelu, softmax) are omitted — <2% of the total —
+    so treat this as a slight lower bound.
 
     ``pallas_frontend`` (default, the bench's path) counts only the
     mel-active FFT bins the fused kernel actually computes

@@ -48,6 +48,24 @@ def test_htsat_fusion_forward(rng, fusion_type):
     assert np.isfinite(np.asarray(out["embedding"])).all()
 
 
+@pytest.mark.parametrize("fusion_type", ["aff_1d", "iaff_2d", "channel_map"])
+def test_fusion_amp_close_to_f32(rng, fusion_type):
+    """Fusion paths under compute_dtype=bf16 (the AMP cast now happens at
+    the bn0 boundary) stay within bf16 rounding of the f32 forward —
+    guarding the AMP deviation the way the bench guard does for the
+    non-fusion path (CLAUDE.md AMP rule)."""
+    cfg = HTSATConfig(**TINY, enable_fusion=True, fusion_type=fusion_type)
+    params = init_htsat_params(jax.random.PRNGKey(0), cfg)
+    batch = _mel_batch(rng)
+    f32 = jax.jit(functools.partial(htsat_apply, cfg=cfg))(params, batch)
+    bf16 = jax.jit(functools.partial(
+        htsat_apply, cfg=cfg, compute_dtype=jnp.bfloat16))(params, batch)
+    a = np.asarray(f32["embedding"])
+    b = np.asarray(bf16["embedding"], dtype=np.float32)
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.995, cos
+
+
 def test_1d_fusion_respects_longer_mask(rng):
     """Samples with longer=False must follow the global-channel-only path."""
     cfg = HTSATConfig(**TINY, enable_fusion=True, fusion_type="aff_1d")

@@ -429,21 +429,23 @@ def test_fused_frontend_matches_rfft(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
 
 
-@pytest.mark.parametrize("n_fft,hop,fmax", [
-    (1536, 480, 14000.0), (1024, 320, 18000.0),
-    # hop == n_fft (k=1): the rows_needed round-up guard (advisor r2 #3 —
-    # the pad width could otherwise go negative on blk-aligned frames)
-    (512, 512, 14000.0),
+@pytest.mark.parametrize("n_fft,hop,fmax,t", [
+    (1536, 480, 14000.0, 24000), (1024, 320, 18000.0, 24000),
+    # hop == n_fft (k=1) with T chosen so nf (48) is exactly blk-aligned
+    # while the padded signal (24612) overruns rows_needed*hop (24576):
+    # without the rows_needed round-up guard (advisor r2 #3) the pad width
+    # goes negative and jnp.pad raises
+    (512, 512, 14000.0, 24100),
 ])
-def test_fused_frontend_other_configs(rng, n_fft, hop, fmax):
+def test_fused_frontend_other_configs(rng, n_fft, hop, fmax, t):
     """Non-default FFT/hop/fmax configs (PANN-14-win-1536 etc.): exercises
     the k=4 row-span, different active-bin trims, and the hop==n_fft k=1
-    edge."""
+    round-up edge."""
     from audio_residual_tpu.ops import frontend as fe
     from audio_residual_tpu.ops.pallas import frontend as pfe
 
     cfg = fe.FrontendConfig(n_fft=n_fft, win_length=n_fft, hop_length=hop, fmax=fmax)
-    wav = jnp.asarray((rng.standard_normal((2, 24000)) * 0.1).astype(np.float32))
+    wav = jnp.asarray((rng.standard_normal((2, t)) * 0.1).astype(np.float32))
     ref = fe.logmel(wav, cfg)
     with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
         got = pfe.fused_logmel(wav, cfg)
