@@ -5,12 +5,17 @@ Reference: `CLAP/src/laion_clap/clap_module/factory.py` — auto-scanned
 with checkpoint loading and audio-ckpt key remapping, ``list_models`` /
 ``add_model_config`` (`:230-263`).
 
-Our registry ships the 11 audio model configs (HTSAT-{tiny,base,large},
-HTSAT-tiny-win-1536, PANN-{6,10,14} + fmax/window/20s variants), verified
-byte-identical to the reference's JSONs. CLIP *vision* tower configs
-(RN50/ViT-*) exist in the reference for image-text use but are outside the
-audio framework's scope; ``add_model_config`` lets users register any extra
-config file.
+Our registry ships all 21 of the reference's model configs: the 11 audio
+ones (HTSAT-{tiny,base,large}, HTSAT-tiny-win-1536, PANN-{6,10,14} +
+fmax/window/20s variants), verified byte-identical to the reference's
+JSONs, plus the 10 CLIP-legacy vision configs (RN50/101/50x4/50x16,
+ViT-B-16/32, ViT-L-14, + quickgelu variants). Deliberate extension: the
+reference's scan filter requires an ``audio_cfg`` key (`factory.py:41`),
+which silently drops the vision configs it ships on disk — its
+``create_model("RN50", ...)`` raises even though the tower classes exist.
+Here vision configs register too and build a working CLIP dual-tower via
+:mod:`audio_residual_tpu.models.clip`. ``add_model_config`` lets users
+register any extra config file.
 """
 
 from __future__ import annotations
@@ -48,7 +53,9 @@ def _rescan():
         for f in d.glob("*.json"):
             with open(f) as fh:
                 cfg = json.load(fh)
-            if all(k in cfg for k in ("embed_dim", "audio_cfg", "text_cfg")):
+            if "embed_dim" in cfg and "text_cfg" in cfg and (
+                "audio_cfg" in cfg or "vision_cfg" in cfg
+            ):
                 _MODEL_CONFIGS[f.stem] = cfg
     for k in sorted(list(_MODEL_CONFIGS), key=_natural_key):
         _MODEL_CONFIGS[k] = _MODEL_CONFIGS.pop(k)
@@ -155,6 +162,8 @@ def create_model(
     """
     amodel_name = amodel_name.replace("/", "-")
     model_cfg = get_model_config(amodel_name)
+    if "audio_cfg" not in model_cfg:
+        return _create_clip_model(model_cfg, tmodel_name, seed=seed)
     audio_cfg = _amodel_to_config(model_cfg, enable_fusion, fusion_type)
     text_cfg = _tmodel_to_config(tmodel_name, model_cfg["text_cfg"])
 
@@ -172,6 +181,43 @@ def create_model(
         params = load_checkpoint_params(pretrained, cfg)
     else:
         params = clap_mod.init_clap_params(jax.random.PRNGKey(seed), cfg)
+    return params, cfg, model_cfg
+
+
+def _create_clip_model(model_cfg: dict, tmodel_name: str, *, seed: int = 0):
+    """Vision-config branch: build a CLIP dual-tower from a ``vision_cfg``
+    model config (RN50/ViT-* families). These configs carry the CLIP BPE
+    text tower spec in ``text_cfg``, so only ``tmodel_name="transformer"``
+    is meaningful here."""
+    from audio_residual_tpu.models import clip as clip_assembly
+    from audio_residual_tpu.models.vision import VisionCfg
+
+    if tmodel_name != "transformer":
+        raise RuntimeError(
+            f"vision model configs pair with the CLIP text tower "
+            f'(tmodel_name="transformer"), got {tmodel_name!r}'
+        )
+    v = model_cfg["vision_cfg"]
+    quick = bool(model_cfg.get("quick_gelu", False))
+    layers = tuple(v["layers"]) if isinstance(v["layers"], list) else v["layers"]
+    vision = VisionCfg(
+        layers=layers,
+        width=v["width"],
+        patch_size=v["patch_size"] or 16,
+        image_size=v["image_size"],
+        quick_gelu=quick,
+    )
+    t = model_cfg["text_cfg"]
+    text = ClipTextConfig(
+        vocab_size=t["vocab_size"],
+        width=t["width"],
+        heads=t["heads"],
+        layers=t["layers"],
+        context_length=t["context_length"],
+        quick_gelu=quick,
+    )
+    cfg = clip_assembly.CLIPConfig(embed_dim=model_cfg["embed_dim"], vision=vision, text=text)
+    params = clip_assembly.init_clip_params(jax.random.PRNGKey(seed), cfg)
     return params, cfg, model_cfg
 
 
@@ -199,6 +245,11 @@ def create_model_and_transforms(*args, **kwargs):
     from audio_residual_tpu.data.featurize import featurize_batch
 
     params, cfg, model_cfg = create_model(*args, **kwargs)
+    if "audio_cfg" not in model_cfg:  # vision config: image preprocessing
+        from audio_residual_tpu.data.transforms import image_transform
+
+        preprocess = image_transform(model_cfg["vision_cfg"]["image_size"], is_train=False)
+        return params, cfg, model_cfg, preprocess
     clip_samples = model_cfg["audio_cfg"]["clip_samples"]
 
     def preprocess(wav):

@@ -207,24 +207,115 @@ def bench_torch_cpu() -> float:
     return clips_per_sec
 
 
+def _probe_backend(timeout_s: float) -> tuple[bool, str]:
+    """Check TPU-backend health in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel has two distinct failure modes (BENCH_r03.json was the
+    second): backend init raises UNAVAILABLE, or ``jax.devices()`` hangs
+    indefinitely. An in-process call can't be timed out, so the probe runs
+    isolated; only once it succeeds does the real bench initialize in-process
+    (where the warm tunnel makes init reliable)."""
+    import subprocess
+
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            env=os.environ.copy(),
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe hung >{timeout_s:.0f}s (tunnel stall)"
+    if r.returncode != 0:
+        return False, (r.stderr or r.stdout).strip().splitlines()[-1][:300] if (r.stderr or r.stdout).strip() else f"probe rc={r.returncode}"
+    return True, r.stdout.strip()
+
+
+def _wait_for_backend() -> str | None:
+    """Bounded retry/backoff around backend availability. Returns None when
+    healthy, else the last error string after retries are exhausted."""
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", "5"))
+    probe_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "120"))
+    last = ""
+    for attempt in range(retries):
+        ok, msg = _probe_backend(probe_timeout)
+        if ok:
+            return None
+        last = msg
+        sleep_s = min(30 * (2**attempt), 300)
+        print(
+            f"# backend unavailable (attempt {attempt + 1}/{retries}): {msg}; "
+            f"retrying in {sleep_s}s",
+            file=sys.stderr,
+        )
+        if attempt + 1 < retries:
+            time.sleep(sleep_s)
+    return last or "unknown backend failure"
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload))
+
+
 def main() -> None:
-    value, mfu, guard = bench_jax_tpu()
+    # transient-tunnel resilience (VERDICT r3 weak #1): a dead tunnel must
+    # produce a distinguishable environment-down JSON line, never a bare
+    # traceback that silently eats the round's perf artifact.
+    err = _wait_for_backend()
+    if err is not None:
+        _emit(
+            {
+                "metric": "ESC-50 zero-shot+ResiDual inference clips/sec/chip",
+                "value": None,
+                "unit": "clips/sec",
+                "vs_baseline": None,
+                "env_down": True,
+                "error": f"environment-down: {err}",
+            }
+        )
+        sys.exit(1)
+
+    attempts = int(os.environ.get("BENCH_RUN_RETRIES", "3"))
+    value = mfu = guard = None
+    for attempt in range(attempts):
+        try:
+            value, mfu, guard = bench_jax_tpu()
+            break
+        except RuntimeError as e:
+            # mid-run tunnel death surfaces as UNAVAILABLE; anything else is
+            # a real bug and must propagate
+            if "UNAVAILABLE" not in str(e) or attempt + 1 == attempts:
+                raise
+            print(f"# bench attempt {attempt + 1} hit tunnel failure: "
+                  f"{str(e)[:200]}; re-probing", file=sys.stderr)
+            if _wait_for_backend() is not None:
+                _emit(
+                    {
+                        "metric": "ESC-50 zero-shot+ResiDual inference clips/sec/chip",
+                        "value": None,
+                        "unit": "clips/sec",
+                        "vs_baseline": None,
+                        "env_down": True,
+                        "error": f"environment-down mid-run: {str(e)[:300]}",
+                    }
+                )
+                sys.exit(1)
     try:
         baseline = bench_torch_cpu()
     except Exception:
         baseline = None
     vs = (value / baseline) if baseline else None
-    print(
-        json.dumps(
-            {
-                "metric": "ESC-50 zero-shot+ResiDual inference clips/sec/chip",
-                "value": round(value, 2),
-                "unit": "clips/sec",
-                "vs_baseline": round(vs, 2) if vs else None,
-                "mfu": round(mfu, 4) if mfu else None,
-                "acc_guard": guard,
-            }
-        )
+    _emit(
+        {
+            "metric": "ESC-50 zero-shot+ResiDual inference clips/sec/chip",
+            "value": round(value, 2),
+            "unit": "clips/sec",
+            "vs_baseline": round(vs, 2) if vs else None,
+            "mfu": round(mfu, 4) if mfu else None,
+            "acc_guard": guard,
+        }
     )
 
 

@@ -48,6 +48,12 @@ def test_create_model_every_registered_config():
     factory._rescan()
     with jax.disable_jit():
         for name in sorted(factory.list_models()):
+            if "audio_cfg" not in factory.get_model_config(name):
+                # vision configs pair with the CLIP text tower
+                params, cfg, model_cfg = factory.create_model(name, "transformer")
+                assert "visual" in params and "text_branch" in params, name
+                assert cfg.embed_dim == model_cfg["embed_dim"], name
+                continue
             params, cfg, model_cfg = factory.create_model(name)
             if model_cfg["audio_cfg"]["model_type"] == "PANN":
                 assert "conv_blocks" in params["audio_branch"], name
