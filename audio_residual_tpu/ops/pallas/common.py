@@ -42,21 +42,35 @@ def layer_norm(x, scale, bias, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def pick_head_group(nh: int, hd: int, n: int) -> int:
+def pick_head_group(nh: int, hd: int, n: int, mxu_dtype=None) -> int:
     """Heads per packed attention group (see :func:`attention_core`).
 
     hg=4 when the group's channel width fits one MXU contraction tile
     (4*hd <= 128) and windows are the standard 64 tokens — every HTSAT
-    variant (hd=24, n=64) qualifies. ``ARPU_ATTN_HG`` overrides for A/B
-    measurement (\"1\" = plain per-head loop). NOTE: the env var is read at
+    variant (hd=24, n=64) qualifies. Packing is an AMP-path optimisation
+    only: with ``mxu_dtype=None`` (the golden f32 path, exact by project
+    convention) auto mode always returns 1, because the packed softmax's
+    group-global max + denominator floor can zero a head whose row max
+    sits >~88 logits below a sibling's — a semantic deviation the golden
+    path must not carry (ADVICE r3).
+
+    ``ARPU_ATTN_HG`` overrides for A/B measurement (\"1\" = plain per-head
+    loop) and is honored on either path (an explicit experimenter request);
+    malformed values or groups that don't divide the heads / exceed the
+    128 contraction lanes fall back to 1. NOTE: the env var is read at
     TRACE time — like ``frontend.DFT_MODE``, changing it after a jit trace
     of the same shapes is a silent no-op; restart the process (or clear
     the jit caches) between A/B arms.
     """
     env = os.environ.get("ARPU_ATTN_HG", "auto")
     if env not in ("", "auto"):
-        hg = int(env)
-        return hg if hg >= 1 and nh % hg == 0 else 1
+        try:
+            hg = int(env)
+        except ValueError:
+            return 1
+        return hg if hg >= 1 and nh % hg == 0 and hg * hd <= 128 else 1
+    if mxu_dtype is None:
+        return 1
     # measured on v5e (BENCH_r03 A/B, us/clip): packing wins -25 at L0
     # (nh=4), is neutral at L1/L2 (nh=8/16), and LOSES ~3x at L3 (nh=32,
     # one window/image: 8 sequential groups of operand-building overhead

@@ -214,7 +214,7 @@ def fused_swin_block(
     bnw, n, c = x.shape
     nw = num_windows_per_image
     hidden = wfc1.shape[1]
-    hg = common.pick_head_group(nh, c // nh, n)
+    hg = common.pick_head_group(nh, c // nh, n, mxu_dtype)
     g = block_pick_group(nw, n, c, nh, hidden, hg)
     if g is None and hg > 1:  # packed operands don't fit: plain head loop
         hg = 1

@@ -291,7 +291,7 @@ def fused_window_attention(
     bnw, n, c = x.shape
     nw = num_windows_per_image
     b = bnw // nw
-    hg = common.pick_head_group(nh, c // nh, n)
+    hg = common.pick_head_group(nh, c // nh, n, mxu_dtype)
     g = pick_group(nw, n, c, nh, hg)
     if g is None and hg > 1:  # packed operands don't fit: plain head loop
         hg = 1

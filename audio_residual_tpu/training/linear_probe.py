@@ -102,6 +102,15 @@ def train_linear_head(
     """
     from audio_residual_tpu.utils.misc import do_mixup, get_mix_lambda
 
+    if mixup_alpha:
+        import logging
+
+        logging.warning(
+            "--mixup on the linear probe mixes cached EMBEDDINGS "
+            "(manifold mixup), not waveforms like the reference "
+            "(lp_train.py:86-91): label softening is exact, input-side "
+            "results are not numerically comparable to the reference run"
+        )
     head = init_linear_head(key, feats.shape[-1], n_classes, mlp=mlp)
     optimizer = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = optimizer.init(head)

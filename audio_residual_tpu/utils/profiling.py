@@ -70,9 +70,27 @@ def measure_seconds(fn, args, *, iters: int = 10, reps: int = 3) -> float:
             t0 = time.perf_counter()
             float(np.asarray(m(*args)))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return float(np.median(ts)), float(max(ts) - min(ts))
 
-    return max(timed(make(2 * iters)) - timed(make(iters)), 1e-9) / iters
+    # Noise guard (ADVICE r3): a non-positive delta, or one inside the
+    # rep-to-rep jitter band, must never be clamped into an astronomical
+    # throughput number — those feed README/PERF claims. Retry with 4x the
+    # scan length (the signal grows linearly, the relay jitter doesn't);
+    # give up loudly if the measurement still can't clear the noise.
+    n = iters
+    for _ in range(3):
+        t2, spread2 = timed(make(2 * n))
+        t1, spread1 = timed(make(n))
+        delta = t2 - t1
+        if delta > max(spread1, spread2, 1e-7):
+            return delta / n
+        n *= 4
+    raise RuntimeError(
+        f"measure_seconds: timing delta {delta * 1e6:.1f}us did not clear the "
+        f"rep jitter ({spread1 * 1e6:.1f}/{spread2 * 1e6:.1f}us) even at "
+        f"scan length {n} — workload too small or environment too noisy for "
+        f"a trustworthy number"
+    )
 
 
 def measure_throughput(forward, example, *, iters: int = 10, batch_axis: int = 0) -> dict:

@@ -81,23 +81,35 @@ def test_pick_group_budget():
 
 def test_pick_head_group_gate():
     """The measured head-group gate (PERF.md): hg=4 for nh<=16 HTSAT heads
-    (hd=24, n=64), hg=1 at L3 (nh=32, where packing measured 3x worse) and
-    whenever the packed width exceeds one MXU contraction tile."""
+    (hd=24, n=64) under AMP, hg=1 at L3 (nh=32, where packing measured 3x
+    worse), whenever the packed width exceeds one MXU contraction tile —
+    and ALWAYS 1 on the golden mxu_dtype=None path, where the packed
+    softmax's group-global max + denom floor would be a semantic deviation
+    (ADVICE r3)."""
     from audio_residual_tpu.ops.pallas import common as pc
 
-    assert pc.pick_head_group(4, 24, 64) == 4    # tiny L0
-    assert pc.pick_head_group(8, 24, 64) == 4    # L1
-    assert pc.pick_head_group(16, 24, 64) == 4   # L2
-    assert pc.pick_head_group(32, 24, 64) == 1   # L3: gated off
-    assert pc.pick_head_group(4, 64, 64) == 2    # 4*64 > 128 lanes -> hg=2
-    assert pc.pick_head_group(3, 24, 64) == 1    # indivisible head count
+    bf16 = jnp.bfloat16
+    assert pc.pick_head_group(4, 24, 64, bf16) == 4    # tiny L0 (AMP)
+    assert pc.pick_head_group(8, 24, 64, bf16) == 4    # L1
+    assert pc.pick_head_group(16, 24, 64, bf16) == 4   # L2
+    assert pc.pick_head_group(32, 24, 64, bf16) == 1   # L3: gated off
+    assert pc.pick_head_group(4, 64, 64, bf16) == 2    # 4*64 > 128 lanes -> hg=2
+    assert pc.pick_head_group(3, 24, 64, bf16) == 1    # indivisible head count
+    # golden path: packing never auto-selects
+    for nh, hd in [(4, 24), (8, 24), (16, 24), (32, 24)]:
+        assert pc.pick_head_group(nh, hd, 64, None) == 1
     import os
     from unittest import mock as _mock
 
     with _mock.patch.dict(os.environ, {"ARPU_ATTN_HG": "2"}):
-        assert pc.pick_head_group(4, 24, 64) == 2  # A/B override
+        assert pc.pick_head_group(4, 24, 64, bf16) == 2  # A/B override
+        assert pc.pick_head_group(4, 24, 64, None) == 2  # explicit: both paths
     with _mock.patch.dict(os.environ, {"ARPU_ATTN_HG": "3"}):
-        assert pc.pick_head_group(4, 24, 64) == 1  # invalid -> plain loop
+        assert pc.pick_head_group(4, 24, 64, bf16) == 1  # invalid -> plain loop
+    with _mock.patch.dict(os.environ, {"ARPU_ATTN_HG": "true"}):
+        assert pc.pick_head_group(4, 24, 64, bf16) == 1  # malformed -> plain loop
+    with _mock.patch.dict(os.environ, {"ARPU_ATTN_HG": "4"}):
+        assert pc.pick_head_group(4, 64, 64, bf16) == 1  # 4*64 > 128 lanes rejected
 
 
 def test_fused_attention_grad_matches_xla(rng):
