@@ -169,13 +169,59 @@ def eval_linear_probe_sweep(
 
 
 def eval_dcase(embeddings_pickle: str) -> dict:
-    """DCASE T5-caption retrieval scoring from pickled output embeddings
+    """DCASE caption-retrieval scoring from pickled output embeddings
     (`evaluate/eval_dcase.py:15-150`): expects {audio_features,
-    text_features} arrays of matched pairs."""
+    text_features} arrays, optionally {logit_scale_a}.
+
+    Two layouts, matching the reference CLI:
+      * matched 1:1 pairs -> both-direction ``retrieval_metrics``;
+      * the Clotho protocol — 5 captions per audio (text rows = 5x audio
+        rows, caption i belongs to audio i//5) -> text->audio ranking with
+        repeat-interleaved ground truth (`eval_dcase.py:33-48`): mean/median
+        rank (1-based), R@1/5/10, mAP@10.
+    """
     with open(embeddings_pickle, "rb") as f:
         blob = pickle.load(f)
     a = np.asarray(blob["audio_features"])
     t = np.asarray(blob["text_features"])
+    scale = float(blob.get("logit_scale_a", 1.0))
     a = a / np.linalg.norm(a, axis=-1, keepdims=True)
     t = t / np.linalg.norm(t, axis=-1, keepdims=True)
-    return retrieval_metrics(a, t)
+    if t.shape[0] == a.shape[0]:
+        return retrieval_metrics(a, t, logit_scale=scale)
+    if t.shape[0] != 5 * a.shape[0]:
+        raise ValueError(
+            f"text rows ({t.shape[0]}) must equal audio rows ({a.shape[0]}) "
+            "or be exactly 5x (the Clotho 5-caption protocol)"
+        )
+    # logits_per_text [5N, N]; ground truth for caption row i is audio i//5
+    logits = scale * (t @ a.T)
+    truth = np.repeat(np.arange(a.shape[0]), 5)
+    order = np.argsort(-logits, axis=-1)
+    preds = np.argmax(order == truth[:, None], axis=-1)  # rank of true audio
+    out = {
+        "num_samples": int(a.shape[0]),
+        "mean_rank": float(preds.mean() + 1),
+        "median_rank": float(np.floor(np.median(preds)) + 1),
+    }
+    for k in (1, 5, 10):
+        out[f"R@{k}"] = float(np.mean(preds < k))
+    out["mAP@10"] = float(np.mean(np.where(preds < 10, 1.0 / (preds + 1), 0.0)))
+    return out
+
+
+def eval_dcase_sweep(pickle_dir: str, pattern: str = "*.pkl") -> dict:
+    """Score every embeddings pickle of a checkpoint directory and track the
+    best by text->audio mAP@10 — the reference workflow of running
+    `eval_dcase` over each epoch's saved outputs (its CLI scores one
+    ``--pretrained`` path per invocation; the sweep loop lived in shell)."""
+    files = sorted(glob.glob(os.path.join(pickle_dir, pattern)))
+    if not files:
+        raise FileNotFoundError(f"no embeddings pickles under {pickle_dir}/{pattern}")
+    per_ckpt = {os.path.basename(f): eval_dcase(f) for f in files}
+
+    def score(m: dict) -> float:
+        return m.get("mAP@10", m.get("text_to_audio_mAP@10", 0.0))
+
+    best = max(per_ckpt, key=lambda k: score(per_ckpt[k]))
+    return {"per_ckpt": per_ckpt, "best_ckpt": best, "best_mAP@10": score(per_ckpt[best])}

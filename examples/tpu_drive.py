@@ -159,7 +159,9 @@ def main() -> int:
         # CPU suite only covers interpret mode
         from audio_residual_tpu.ops.pallas import swin_block as fsb
 
-        out = {}
+        # self-describing thresholds (VERDICT r3 item 7): the artifact alone
+        # must show the margin each rel_err was asserted against
+        out = {"rel_err_bound": 0.02, "bf16_rel_err_bound": 0.03}
         for tag, (c, nh, hidden, nw_, res_) in {
             "layer0": (96, 4, 384, 64, (64, 64)),
             "layer3_split": (768, 32, 3072, 1, (8, 8)),
@@ -194,7 +196,7 @@ def main() -> int:
                     resolution=res_, double_ffn=False))(xb)
             rel = float(np.abs(np.asarray(got) - np.asarray(hi)).max()
                         / np.abs(np.asarray(hi)).max())
-            assert rel < 0.02, (tag, rel)
+            assert rel < out["rel_err_bound"], (tag, rel)
             out[f"{tag}_rel_err"] = rel
 
             # bf16 activation storage (the AMP layer loop's path): bf16 x
@@ -207,7 +209,7 @@ def main() -> int:
             rel_bf = float(
                 np.abs(np.asarray(got_bf, dtype=np.float32) - np.asarray(hi)).max()
                 / np.abs(np.asarray(hi)).max())
-            assert rel_bf < 0.03, (tag, rel_bf)
+            assert rel_bf < out["bf16_rel_err_bound"], (tag, rel_bf)
             out[f"{tag}_bf16_rel_err"] = rel_bf
         return out
 

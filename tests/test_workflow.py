@@ -1,7 +1,11 @@
 """The one-command full-workflow artifact (`examples/full_workflow.py`) runs
 the composed pipeline — PCA -> injection -> λ-training -> zero-shot /
-baseline / linear compare -> figures — and its summary passes the structural
-assertions (VERDICT r2 item #4)."""
+baseline / linear compare -> figures — and its summary passes BOTH the
+structural assertions (VERDICT r2 item #4) and the learning assertions
+(VERDICT r3 weak #3): class-anchored text embeddings give the zero-shot CE
+real gradient, so the artifact reproduces the experiment's qualitative
+Table-1 regime (linear > chance, baseline > chance, loss moves materially)
+instead of just exercising plumbing."""
 
 import os
 import sys
@@ -17,14 +21,18 @@ def test_full_workflow_tiny(tmp_path):
         sys.path.pop(0)
 
     s = full_workflow.main(
-        ["--size", "tiny", "--folds", "2", "--epochs", "2",
-         "--out-dir", str(tmp_path)]
+        ["--size", "tiny", "--folds", "2", "--out-dir", str(tmp_path)]
     )
-    assert s["ok"] is True
+    # tiny has 2 encoder layers; default injection = last layer (1)
+    assert s["inject_layers"] == [1]
+    assert s["checks"]["loss_moved_materially"], s
+    assert s["checks"]["baseline_above_chance"], s
+    assert s["checks"]["linear_above_chance"], s
+    assert s["ok"] is True, s
     assert s["lambda_moved"]
     assert set(s["artifacts"]["npz"]) == {
-        "lambda_layer0_evalfold_0.pkl", "lambda_layer0_evalfold_1.pkl",
-        "layers_0_evalfold_0.npz", "layers_0_evalfold_1.npz",
+        "lambda_layer1_evalfold_0.pkl", "lambda_layer1_evalfold_1.pkl",
+        "layers_1_evalfold_0.npz", "layers_1_evalfold_1.npz",
     }
     assert s["artifacts"]["confusion_fig"] > 0 and s["artifacts"]["lambda_fig"] > 0
     # every stage produced its eval dir
@@ -33,5 +41,5 @@ def test_full_workflow_tiny(tmp_path):
     # PCA pickles in the reference format are readable by the loader
     from audio_residual_tpu.residual.module import load_residual_params
 
-    r = load_residual_params(str(tmp_path / "pca" / "SYNTH" / "layer_0_evalfold_0"))
-    assert r["basis"].shape[0] == r["basis"].shape[1] == 32
+    r = load_residual_params(str(tmp_path / "pca" / "SYNTH" / "layer_1_evalfold_0"))
+    assert r["basis"].shape[0] == r["basis"].shape[1] == 64
