@@ -38,6 +38,7 @@ def test_create_model_unknown_raises():
         factory.create_model("No-Such-Model")
 
 
+@pytest.mark.slow
 def test_create_model_every_registered_config():
     """Every shipped model config builds (`factory.py:73-227` accepts all 11
     audio configs): params exist for the right branch type and the audio cfg
@@ -219,6 +220,7 @@ def test_clap_module_end_to_end_tiny(tmp_path):
         fac._rescan()
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     """Driver contract regression: entry() jits; dryrun runs a DP step."""
     import sys
@@ -229,6 +231,7 @@ def test_graft_entry_contract():
     g.dryrun_multichip(4)
 
 
+@pytest.mark.slow
 def test_graft_entry_survives_driver_environment():
     """Round-1 regression (VERDICT Missing #1): the driver invokes
     ``dryrun_multichip`` with the axon sitecustomize active, which overrides
@@ -279,6 +282,7 @@ def test_convert_weights_to_bf16():
     assert p["logit_scale_a"].dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_save_torch_compatible_roundtrip(tmp_path, rng):
     """End-to-end weight path (VERDICT r1 #5): export a random CLAP as a
     reference-layout torch checkpoint, reload it through the same path the

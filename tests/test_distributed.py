@@ -88,6 +88,7 @@ def test_gather_features_grad_flows():
     np.testing.assert_allclose(np.asarray(g), np.asarray(t), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_train_step_replicated_params_stay_synced():
     """One DP train step over the 8-device mesh: params stay replicated and
     finite (the implicit-allreduce property DDP provides)."""

@@ -183,6 +183,7 @@ def test_residual_training_loop_parity(shared):
     assert cos > 0.999
 
 
+@pytest.mark.slow
 def test_train_and_evaluate_residual_npz_parity(shared, tmp_path):
     """`src/evaluation.py:19-71` vs our K-fold harness: identical fold
     handling and `.npz` artifact contents (predictions/targets exact,

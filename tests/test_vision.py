@@ -162,6 +162,7 @@ def test_resnet_matches_reference(rng):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_timm_adapter_variants(rng):
     """Adapter head semantics (`timm_model.py:42-69`): avg+linear, avg+mlp on
     a ViT trunk; abs_attn on the resnet trunk; error paths."""
@@ -296,6 +297,7 @@ def test_imagenet_zeroshot_run_and_gating():
     assert set(out) == {"imagenet-zeroshot-val-top1", "imagenet-zeroshot-val-top5"}
 
 
+@pytest.mark.slow
 def test_vision_config_registry_and_clip_build():
     """The 10 CLIP-legacy vision configs register and build a forwarding
     CLIP dual-tower (documented extension: the reference ships the JSONs

@@ -10,9 +10,12 @@ instead of just exercising plumbing."""
 import os
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_full_workflow_tiny(tmp_path):
     sys.path.insert(0, os.path.join(REPO, "examples"))
     try:
