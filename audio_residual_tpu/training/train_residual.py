@@ -119,10 +119,16 @@ def cache_prefix_tokens(
     until_layer: int,
     *,
     max_len: int = 480000,
-) -> list:
+    exact_only: bool = False,
+) -> list | None:
     """Run the frozen encoder prefix (frontend + patch embed + layers below
     the first injected layer) ONCE and cache the tokens host-side — the
-    epoch loop then pays only for the suffix."""
+    epoch loop then pays only for the suffix.
+
+    ``exact_only=True`` (the auto-cache path): returns ``None`` as soon as a
+    batch is longer than ``max_len`` — such clips go through ``rand_trunc``,
+    whose crop varies per step in the uncached loop (`data.py:465-468`), so
+    a one-shot cache would silently freeze the augmentation."""
 
     @jax.jit
     def prefix(wav):
@@ -131,7 +137,12 @@ def cache_prefix_tokens(
             params, batch, cfg, stop_at_layer=until_layer
         )["tokens"]
 
-    return [(np.asarray(prefix(jnp.asarray(wav))), np.asarray(labels)) for wav, labels in batches]
+    out = []
+    for wav, labels in batches:
+        if exact_only and np.asarray(wav).shape[-1] > max_len:
+            return None
+        out.append((np.asarray(prefix(jnp.asarray(wav))), np.asarray(labels)))
+    return out
 
 
 def train_residual(
@@ -146,25 +157,44 @@ def train_residual(
     max_len: int = 480000,
     double_ffn_compat: bool = True,
     log_fn: Callable[[dict], None] | None = None,
-    cache_prefix: bool = False,
+    cache_prefix: bool | None = None,
     seed: int = 0,
 ) -> tuple[dict, list[dict]]:
     """Train λ (`src/training.py:12-41` + Adam as `evaluation.py:54`).
 
     ``train_batches()`` yields ``(wav [B, T], labels [B])`` numpy pairs.
     Returns the trained residual dict and the per-epoch history.
-    ``cache_prefix=True`` precomputes the frozen encoder prefix below the
-    first injected layer once (big speedup for late-layer injection sweeps).
-    A per-step rng (folded from ``seed``) reaches featurization, so
-    ``rand_trunc`` crops differ across steps on >max_len datasets.
+    ``cache_prefix`` precomputes the frozen encoder prefix below the first
+    injected layer once, so each epoch pays only the suffix (SURVEY hard
+    part #6; the reference re-ran the whole frozen encoder every epoch).
+    Default ``None`` = auto: cache when the first injected layer is >= 1
+    (at layer 0 the cached tokens [N, 4096, 96] are BIGGER than the
+    waveforms they replace — more host->device bytes per step than the
+    frontend compute they save) and only when featurization is
+    deterministic (clips <= max_len; `rand_trunc` datasets keep fresh
+    per-step crops — see :func:`cache_prefix_tokens`). ``True`` forces
+    caching (crops freeze on >max_len clips), ``False`` disables.
+    A per-step rng (folded from ``seed``) reaches featurization in the
+    uncached loop, so ``rand_trunc`` crops differ across steps.
     """
     lam, frozen = _split_residual(residual)
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(lam)
     start_layer = 0
+    if cache_prefix is None:
+        cached = (
+            cache_prefix_tokens(
+                params, cfg, train_batches(), min(frozen),
+                max_len=max_len, exact_only=True,
+            )
+            if min(frozen) >= 1
+            else None
+        )
+        cache_prefix = cached is not None
+    elif cache_prefix:
+        cached = cache_prefix_tokens(params, cfg, train_batches(), min(frozen), max_len=max_len)
     if cache_prefix:
         start_layer = min(frozen)
-        cached = cache_prefix_tokens(params, cfg, train_batches(), start_layer, max_len=max_len)
         train_batches = lambda: iter(cached)  # noqa: E731
     step, _ = make_zero_shot_step(
         params, cfg, text_embeds, frozen, optimizer,
@@ -249,11 +279,13 @@ def train_and_evaluate_residual(
     double_ffn_compat: bool = True,
     save_lambda: bool = True,
     max_len: int | None = None,
+    cache_prefix: bool | None = None,
 ) -> list[dict]:
     """K-fold CV harness (`src/evaluation.py:19-71`): per fold, load the
     per-(layer, fold) PCA basis, train λ, evaluate, save the ``.npz``
     artifact (same schema) — plus the trained λ (fixing the reference's
-    persistence gap).
+    persistence gap). ``cache_prefix=None`` auto-caches the frozen prefix
+    when exact (see :func:`train_residual`).
 
     ``max_len`` defaults to ``cfg.audio.clip_samples`` so every stage
     featurizes at the length the model (and any PCA basis fit through it)
@@ -274,7 +306,7 @@ def train_and_evaluate_residual(
         trained, history = train_residual(
             params, cfg, train_batches, text_embeds, residual,
             epochs=epochs, lr=lr, double_ffn_compat=double_ffn_compat,
-            max_len=max_len,
+            max_len=max_len, cache_prefix=cache_prefix,
         )
         preds, targets, sims = evaluate_zero_shot(
             params, cfg, val_batches(), text_embeds,
@@ -344,8 +376,20 @@ def train_with_config(
     lam, frozen = _split_residual(residual)
     optimizer = optax.adam(config.get("lr", 0.01))
     opt_state = optimizer.init(lam)
+    # frozen-prefix cache for the sweep's hot loop (SURVEY §3.3: full HTSAT
+    # forward x epochs x folds x grid). This loop steps without a featurize
+    # rng (crops are fixed), so caching is always exact; the layer-0 gate is
+    # the byte-traffic one (see train_residual).
+    start_layer = 0
+    if min(frozen) >= 1:
+        cached = cache_prefix_tokens(
+            params, cfg, train_batches(), min(frozen), max_len=max_len
+        )
+        start_layer = min(frozen)
+        train_batches = lambda: iter(cached)  # noqa: E731
     step, loss_fn = make_zero_shot_step(params, cfg, text_embeds, frozen, optimizer,
-                                        max_len=max_len)
+                                        max_len=max_len, start_layer=start_layer,
+                                        tokens_input=start_layer > 0)
     history = []
     for e in range(config.get("epochs", 10)):
         tl, tc, tn = 0.0, 0, 0

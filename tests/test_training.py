@@ -292,3 +292,68 @@ def test_visualize_eval_metrics_and_heatmap(tmp_path, rng):
 
     lam_fig = plot_lambda_histogram(rng.standard_normal(96), str(tmp_path / "lam.png"))
     assert os.path.exists(lam_fig) and os.path.getsize(lam_fig) > 0
+
+
+def test_auto_cache_prefix_layer1_exact_and_active(setup, monkeypatch):
+    """cache_prefix=None auto-caches for min-layer >= 1 injection (VERDICT r4
+    item 6: the frozen-prefix cache must sit in the actual hot path) and the
+    cached run is numerically identical to the uncached one."""
+    params, text_embeds, make_batches = setup
+    rng = np.random.default_rng(2)
+    q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    residual = {1: init_residual_params(
+        q.astype(np.float32), rng.standard_normal(64).astype(np.float32) * 0.01
+    )}
+    calls = []
+    orig = train_residual.cache_prefix_tokens
+
+    def spy(*a, **kw):
+        calls.append(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(train_residual, "cache_prefix_tokens", spy)
+    kw = dict(epochs=2, lr=0.05)
+    r_auto, h_auto = train_residual.train_residual(
+        params, CFG, make_batches(11), text_embeds, residual, **kw
+    )
+    assert len(calls) == 1 and calls[0]["exact_only"]
+    r_off, h_off = train_residual.train_residual(
+        params, CFG, make_batches(11), text_embeds, residual,
+        cache_prefix=False, **kw
+    )
+    assert len(calls) == 1  # False never caches
+    np.testing.assert_allclose(
+        np.asarray(r_auto[1]["lam"]), np.asarray(r_off[1]["lam"]),
+        atol=1e-5, rtol=1e-4,
+    )
+    for ha, ho in zip(h_auto, h_off):
+        np.testing.assert_allclose(ha["train_loss"], ho["train_loss"], rtol=1e-5)
+
+
+def test_auto_cache_prefix_stays_off_at_layer0(setup, monkeypatch):
+    """Layer-0 injection must NOT auto-cache: [N, tokens, C] prefix tokens are
+    bigger than the waveforms they replace (more host->device bytes/step
+    than the saved frontend compute)."""
+    params, text_embeds, make_batches = setup
+    residual = _residual_for_layer0(params)
+    monkeypatch.setattr(
+        train_residual, "cache_prefix_tokens",
+        lambda *a, **kw: pytest.fail("layer-0 auto run must not cache"),
+    )
+    train_residual.train_residual(
+        params, CFG, make_batches(12), text_embeds, residual, epochs=1, lr=0.05
+    )
+
+
+def test_cache_prefix_exact_only_bails_on_rand_trunc(setup):
+    """exact_only=True refuses to cache >max_len clips (rand_trunc crops must
+    stay fresh per step, `data.py:465-468`)."""
+    params, _, _ = setup
+
+    def long_batches():
+        r = np.random.default_rng(5)
+        yield (r.standard_normal((2, MAX_LEN + 64)) * 0.1).astype(np.float32), r.integers(0, N_CLASSES, 2)
+
+    assert train_residual.cache_prefix_tokens(
+        params, CFG, long_batches(), 1, max_len=MAX_LEN, exact_only=True
+    ) is None
