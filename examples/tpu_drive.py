@@ -266,26 +266,35 @@ def main() -> int:
 
             return featurize_batch(quantize_roundtrip(w), cfg.audio.clip_samples)
 
-        @jax.jit
-        def steps(p, s, w):
-            def body(carry, _):
-                p_, s_ = carry
-                loss, grads = jax.value_and_grad(loss_fn)(p_, w)
-                updates, s2 = opt.update(grads, s_, p_)
-                return (optax.apply_updates(p_, updates), s2), loss
-            (p, s), losses = jax.lax.scan(body, (p, s), None, length=3)
-            return losses
+        # two-point scan timing (the relay trap, PERF.md): the old one-point
+        # 3-step loop carried ~30 ms RTT/3 steps, understating throughput
+        # ~15-20% at this program size
+        from audio_residual_tpu.utils.profiling import measure_seconds
 
-        losses = steps(params, opt_state, twav)
-        jax.block_until_ready(losses)
-        t0 = time.perf_counter()
-        losses = steps(params, opt_state, twav)
-        jax.block_until_ready(losses)
-        dt = (time.perf_counter() - t0) / 3
-        lo = np.asarray(losses)
-        assert np.isfinite(lo).all()
+        def train_step(p_s, w):
+            p_, s_ = p_s
+            loss, grads = jax.value_and_grad(loss_fn)(p_, w)
+            updates, s2 = opt.update(grads, s_, p_)
+            return (optax.apply_updates(p_, updates), s2), loss
+
+        @jax.jit
+        def smoke(p, s, w):
+            (_, _), loss = train_step((p, s), w)
+            return loss
+
+        loss0 = float(smoke(params, opt_state, twav))
+        assert np.isfinite(loss0)
+
+        # measure_seconds wraps fn in its own two-length scan; fn here is
+        # ONE full train step, chained through the wav perturbation
+        dt = measure_seconds(
+            lambda w: train_step((params, opt_state), w)[1], (twav,), iters=6
+        )
+        fwd_dt = measure_seconds(lambda w: loss_fn(params, w), (twav,), iters=6)
         return {"train_clips_per_sec": round(bsz / dt, 1),
-                "loss_first": float(lo[0])}
+                "fwd_only_clips_per_sec": round(bsz / fwd_dt, 1),
+                "bwd_over_fwd": round(dt / fwd_dt, 2),
+                "loss_first": loss0}
 
     stage("train_step_throughput", s7)
 
