@@ -323,3 +323,31 @@ def test_save_torch_compatible_roundtrip(tmp_path, rng):
     a1 = fwd(params, wav)["normalized"]
     a2 = fwd(re_params, wav)["normalized"]
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_infer_demo_smoke(tmp_path, capsys, monkeypatch):
+    """`training/infer_demo.py` end-to-end on a tiny registered config
+    (PARITY.md's last fillable "—" cell): embeds synthetic audio + two
+    prompts and prints the similarity matrix."""
+    from audio_residual_tpu.models.htsat import HTSAT_VARIANTS
+    from audio_residual_tpu.training import infer_demo
+
+    cfg = factory.get_model_config("HTSAT-tiny")
+    cfg["embed_dim"] = 64
+    cfg["audio_cfg"].update({"clip_samples": 24000, "mel_bins": 16, "class_num": 17,
+                             "model_name": "tiny-demo"})
+    p = tmp_path / "HTSAT-tiny-demo.json"
+    p.write_text(json.dumps(cfg))
+    factory.add_model_config(str(p))
+    HTSAT_VARIANTS["tiny-demo"] = dict(embed_dim=32, depths=(1, 1), num_heads=(2, 4),
+                                       spec_size=64)
+    # force the offline tokenizer fallback deterministic (no HF cache probe)
+    monkeypatch.setenv("TRANSFORMERS_OFFLINE", "1")
+    try:
+        infer_demo.main(["--amodel", "HTSAT-tiny-demo"])
+    finally:
+        HTSAT_VARIANTS.pop("tiny-demo")
+    out = capsys.readouterr().out
+    assert "audio embeddings: (2, 512)" in out
+    assert "text embeddings: (2, 512)" in out
+    assert "similarities" in out
