@@ -65,13 +65,19 @@ def pick_group(
 
 
 def wide_plan(
-    num_windows_per_image: int, n: int, c: int, nh: int
+    num_windows_per_image: int, n: int, c: int, nh: int, esize: int = 4
 ) -> tuple[int, int, int] | None:
     """Plan for the weight-streaming variant (wide c, where wqkv/wproj no
     longer fit VMEM whole): ``(g, qc, pc)`` — window group, qkv-column chunk,
     proj-column chunk. Chunks are 128-lane multiples, divide ``c`` (so no
     chunk straddles the q/k/v segment boundaries), and ``qc`` is a multiple
-    of the head dim (head slices stay inside one chunk)."""
+    of the head dim (head slices stay inside one chunk).
+
+    ``esize`` is the byte width of the STREAMED tensors (x/out blocks and
+    the pre-cast weight chunks — see `_wide_attention`); the f32 scratch and
+    scores are budgeted at 4 regardless. Under bf16 AMP (esize=2) the same
+    budget admits 2x-wider chunks / window groups: at c=2048 (large layer 3)
+    the f32 budget caps chunks at 256 columns while bf16 streams 512."""
     hd = c // nh
     g = num_windows_per_image
     while g >= 1:
@@ -82,20 +88,22 @@ def wide_plan(
                 for pc in (512, 256, 128):
                     if c % pc or pc % 128:
                         continue
-                    if _wide_vmem_need(g, n, c, nh, qc, pc) < _VMEM_BUDGET:
+                    if _wide_vmem_need(g, n, c, nh, qc, pc, esize) < _VMEM_BUDGET:
                         return g, qc, pc
         g //= 2
     return None
 
 
-def _wide_vmem_need(g: int, n: int, c: int, nh: int, qc: int, pc: int) -> int:
+def _wide_vmem_need(
+    g: int, n: int, c: int, nh: int, qc: int, pc: int, esize: int = 4
+) -> int:
     f32 = 4
     return (
-        g * n * c * f32  # y block
+        g * n * c * esize  # y block (stored in the caller's AMP dtype)
         + 3 * g * n * c * f32  # qkv scratch ([KA, g*n, qc] == 3*g*n*c total)
         + g * n * c * f32  # attention-output scratch
-        + g * n * pc * f32  # out block
-        + 2 * (c * qc + c * pc) * f32  # weight chunks, double-buffered
+        + g * n * pc * esize  # out block
+        + 2 * (c * qc + c * pc) * esize  # weight chunks, double-buffered
         + 2 * g * n * n * f32  # one head's scores + probs at a time
         + (nh + g) * n * n * f32  # bias + mask blocks
     )
@@ -305,7 +313,7 @@ def fused_window_attention(
         mask = jnp.zeros((nw, n, n), jnp.float32)
 
     if g is None:
-        plan = wide_plan(nw, n, c, nh)
+        plan = wide_plan(nw, n, c, nh, 2 if mxu_dtype is not None else 4)
         if plan is None:
             raise ValueError("window-attention block does not fit VMEM; use the XLA path")
         return _wide_attention(

@@ -167,6 +167,11 @@ def main() -> int:
             "layer3_split": (768, 32, 3072, 1, (8, 8)),
             # base/large wide layer: weight-streaming W-MSA kernel path
             "wide_l3": (1024, 32, 4096, 1, (8, 8)),
+            # HTSAT-large layer 3: the c=2048 shape where the bf16 plan
+            # streams 512-wide chunks vs f32's 256 (wide_plan esize) — the
+            # bf16 arm below chip-verifies the WIDENED plan compiles + is
+            # exact under Mosaic's scoped-vmem accounting
+            "wide_l3_large": (2048, 32, 8192, 1, (8, 8)),
         }.items():
             r = np.random.default_rng(1)
             d = lambda shape, s=0.05: jnp.asarray(  # noqa: E731
