@@ -347,6 +347,8 @@ def test_infer_demo_smoke(tmp_path, capsys, monkeypatch):
         infer_demo.main(["--amodel", "HTSAT-tiny-demo"])
     finally:
         HTSAT_VARIANTS.pop("tiny-demo")
+        factory._CONFIG_DIRS.pop()
+        factory._rescan()
     out = capsys.readouterr().out
     assert "audio embeddings: (2, 512)" in out
     assert "text embeddings: (2, 512)" in out
