@@ -148,37 +148,54 @@ def _kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     o_ref[:] = y.reshape(g, n, c).astype(o_ref.dtype)
 
 
-def _xla_twin(x, blk, rparams, *, nh, window, nw, shift, resolution, double_ffn):
-    """Plain-XLA block twin (custom-vjp backward + parity tests)."""
+def _xla_twin(x, blk, rparams, *, nh, window, nw, shift, resolution, double_ffn,
+              mxu_dtype=None):
+    """Plain-XLA block twin (custom-vjp backward + parity tests).
+
+    ``mxu_dtype`` mirrors the kernel's AMP contract: MATMUL operands cast to
+    it (bf16 MXU inputs, f32 accumulate via preferred_element_type), while
+    LN stats, softmax, residual adds and the ResiDual epilogue stay f32 —
+    so a backward differentiated through this twin produces AMP-mode
+    gradients with bf16-stored GEMM operands (halved HBM traffic on the
+    transposed matmuls), the TPU analog of the reference's autocast
+    backward (`train.py:124-159` runs backward inside the AMP scaler)."""
     bnw, n, c = x.shape
     hd = c // nh
     scale = hd**-0.5
-    y = _ln(x, blk["norm1"]["scale"], blk["norm1"]["bias"])
-    qkv = (y.reshape(-1, c) @ blk["attn"]["qkv"]["kernel"] + blk["attn"]["qkv"]["bias"])
+    md = (lambda t: t.astype(mxu_dtype)) if mxu_dtype is not None else (lambda t: t)
+    y = _ln(x.astype(jnp.float32), blk["norm1"]["scale"], blk["norm1"]["bias"])
+    qkv = jnp.dot(md(y.reshape(-1, c)), md(blk["attn"]["qkv"]["kernel"]),
+                  preferred_element_type=jnp.float32) + blk["attn"]["qkv"]["bias"]
     qkv = qkv.reshape(bnw, n, 3, nh, hd)
     q = qkv[:, :, 0].transpose(0, 2, 1, 3) * scale
     k = qkv[:, :, 1].transpose(0, 2, 1, 3)
     v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    s = jnp.einsum("bhnd,bhmd->bhnm", md(q), md(k), preferred_element_type=jnp.float32)
     s = s + win_ops.gather_relative_bias(blk["attn"]["rel_bias_table"], window, window)[None]
     if shift > 0:
         m = jnp.asarray(win_ops.shift_window_mask(*resolution, window, shift))
         s = (s.reshape(bnw // nw, nw, nh, n, n) + m[None, :, None]).reshape(bnw, nh, n, n)
     p = jax.nn.softmax(s, axis=-1)
-    a = jnp.einsum("bhnm,bhmd->bhnd", p, v).transpose(0, 2, 1, 3).reshape(bnw, n, c)
-    a = a @ blk["attn"]["proj"]["kernel"] + blk["attn"]["proj"]["bias"]
+    a = jnp.einsum("bhnm,bhmd->bhnd", md(p), md(v),
+                   preferred_element_type=jnp.float32).transpose(0, 2, 1, 3).reshape(bnw, n, c)
+    a = jnp.dot(md(a), md(blk["attn"]["proj"]["kernel"]),
+                preferred_element_type=jnp.float32) + blk["attn"]["proj"]["bias"]
     if rparams is not None:
         proj = jnp.matmul(a - rparams["mean"], rparams["basis"].T,
                           precision=jax.lax.Precision.HIGHEST)
         a = jnp.matmul(proj * rparams["lam"], rparams["basis"],
                        precision=jax.lax.Precision.HIGHEST)
-    h1 = x + a
+    h1 = x.astype(jnp.float32) + a
 
     def ffn(t):
         z = _ln(t, blk["norm2"]["scale"], blk["norm2"]["bias"])
-        z = jax.nn.gelu(z.reshape(-1, c) @ blk["mlp"]["fc1"]["kernel"] + blk["mlp"]["fc1"]["bias"],
-                        approximate=False)
-        return (z @ blk["mlp"]["fc2"]["kernel"] + blk["mlp"]["fc2"]["bias"]).reshape(bnw, n, c)
+        z = jax.nn.gelu(
+            jnp.dot(md(z.reshape(-1, c)), md(blk["mlp"]["fc1"]["kernel"]),
+                    preferred_element_type=jnp.float32) + blk["mlp"]["fc1"]["bias"],
+            approximate=False)
+        return (jnp.dot(md(z), md(blk["mlp"]["fc2"]["kernel"]),
+                        preferred_element_type=jnp.float32)
+                + blk["mlp"]["fc2"]["bias"]).reshape(bnw, n, c)
 
     y = h1 + ffn(h1)
     if rparams is not None and double_ffn:
@@ -347,11 +364,17 @@ def _fsb_bwd(nh, window, nw, shift, resolution, use_residual, double_ffn,
         if not use_residual:
             rparams = None
         return _xla_twin(x_, blk, rparams, nh=nh, window=window, nw=nw,
-                         shift=shift, resolution=resolution, double_ffn=double_ffn)
+                         shift=shift, resolution=resolution,
+                         double_ffn=double_ffn, mxu_dtype=mxu_dtype)
 
-    # twin runs f32 (the forward's bf16 storage is a rounding of the same
-    # values); cotangent arrives in the forward's storage dtype
-    _, vjp = jax.vjp(twin, x.astype(jnp.float32), flat_params)
+    # golden path (mxu_dtype=None): twin runs f32 exactly as before. AMP:
+    # the twin casts GEMM operands to mxu_dtype (storage stays bf16 for x),
+    # so the backward's transposed matmuls run with bf16-stored operands —
+    # AMP-mode gradients, matching the reference's autocast backward.
+    # Cotangents accumulate f32; weight grads come out f32 (the casts sit
+    # inside the twin, downstream of the f32 weight leaves).
+    xs = x if mxu_dtype is not None else x.astype(jnp.float32)
+    _, vjp = jax.vjp(twin, xs, flat_params)
     dx, dp = vjp(g.astype(jnp.float32))
     return dx.astype(x.dtype), dp
 

@@ -147,16 +147,21 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
 
 
 def _xla_reference(x, wqkv, bqkv, wproj, bproj, rel_bias_table, *, nh, window,
-                   num_windows_per_image, shift, resolution):
-    """Plain-XLA twin of the kernel — used for the custom-vjp backward."""
+                   num_windows_per_image, shift, resolution, mxu_dtype=None):
+    """Plain-XLA twin of the kernel — used for the custom-vjp backward.
+
+    ``mxu_dtype`` casts GEMM operands only (the kernel's AMP contract);
+    softmax/bias/adds stay f32 — see `swin_block._xla_twin`."""
     bnw, n, c = x.shape
     hd = c // nh
     scale = hd**-0.5
-    qkv = (x.reshape(bnw * n, c) @ wqkv + bqkv).reshape(bnw, n, 3, nh, hd)
+    md = (lambda t: t.astype(mxu_dtype)) if mxu_dtype is not None else (lambda t: t)
+    qkv = (jnp.dot(md(x.reshape(bnw * n, c)), md(wqkv),
+                   preferred_element_type=jnp.float32) + bqkv).reshape(bnw, n, 3, nh, hd)
     q = qkv[:, :, 0].transpose(0, 2, 1, 3) * scale
     k = qkv[:, :, 1].transpose(0, 2, 1, 3)
     v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    s = jnp.einsum("bhnd,bhmd->bhnm", md(q), md(k), preferred_element_type=jnp.float32)
     s = s + win_ops.gather_relative_bias(rel_bias_table, window, window)[None]
     if shift > 0:
         mask = jnp.asarray(win_ops.shift_window_mask(*resolution, window, shift))
@@ -164,9 +169,11 @@ def _xla_reference(x, wqkv, bqkv, wproj, bproj, rel_bias_table, *, nh, window,
         s = s.reshape(bnw // nw, nw, nh, n, n) + mask[None, :, None]
         s = s.reshape(bnw, nh, n, n)
     probs = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhnm,bhmd->bhnd", probs, v, preferred_element_type=jnp.float32)
+    o = jnp.einsum("bhnm,bhmd->bhnd", md(probs), md(v),
+                   preferred_element_type=jnp.float32)
     o = o.transpose(0, 2, 1, 3).reshape(bnw * n, c)
-    return (o @ wproj + bproj).reshape(bnw, n, c)
+    return (jnp.dot(md(o), md(wproj), preferred_element_type=jnp.float32)
+            + bproj).reshape(bnw, n, c)
 
 
 def _wide_kernel(y_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
@@ -362,15 +369,18 @@ def _fwa_fwd(x, wqkv, bqkv, wproj, bproj, rel_bias_table,
 def _fwa_bwd(nh, window, num_windows_per_image, shift, resolution, mxu_dtype,
              residuals, g):
     x, wqkv, bqkv, wproj, bproj, rel_bias_table = residuals
-    # twin runs f32 (the forward's bf16 storage is a rounding of the same
-    # values); cotangent arrives in the forward's storage dtype
+    # golden path (mxu_dtype=None): f32 twin exactly as before. AMP: GEMM
+    # operands cast to mxu_dtype inside the twin, x stays in its bf16
+    # storage — AMP-mode gradients with halved HBM traffic on the
+    # transposed matmuls (see swin_block._fsb_bwd)
+    xs = x if mxu_dtype is not None else x.astype(jnp.float32)
     _, vjp = jax.vjp(
         functools.partial(
             _xla_reference, nh=nh, window=window,
             num_windows_per_image=num_windows_per_image, shift=shift,
-            resolution=resolution,
+            resolution=resolution, mxu_dtype=mxu_dtype,
         ),
-        x.astype(jnp.float32), wqkv, bqkv, wproj, bproj, rel_bias_table,
+        xs, wqkv, bqkv, wproj, bproj, rel_bias_table,
     )
     dx, *dws = vjp(g.astype(jnp.float32))
     return (dx.astype(x.dtype), *dws)

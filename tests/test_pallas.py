@@ -531,3 +531,31 @@ def test_wide_plan_bf16_budget_widens_chunks(rng, c, nh, nw, res):
     scale = float(np.abs(np.asarray(ref)).max())
     rel = float(np.abs(np.asarray(got, dtype=np.float32) - np.asarray(ref)).max()) / scale
     assert rel < 0.03, rel
+
+
+def test_fused_block_bf16_backward_amp_grads(rng):
+    """Under AMP the custom-vjp backward follows mxu_dtype: GEMM operands
+    bf16 (the reference's autocast backward analog), cotangents/weight
+    grads f32, dx in the bf16 storage dtype — and the gradients stay
+    within bf16-mantissa error of the golden f32 backward."""
+    from audio_residual_tpu.ops.pallas import swin_block as fsb
+
+    c, nh, g = 96, 4, 4
+    blk, flat = _block_params(rng, c, nh)
+    x = jnp.asarray(rng.standard_normal((g, 64, c)).astype(np.float32) * 0.5)
+
+    def loss(x_, fp, dt):
+        with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+            out = fsb.fused_swin_block(
+                x_ if dt is None else x_.astype(dt),
+                fp, nh, 8, g, 4, (16, 16), False, False, dt)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gx32, gp32 = jax.grad(loss, argnums=(0, 1))(x, flat, None)
+    gx16, gp16 = jax.grad(loss, argnums=(0, 1))(x, flat, jnp.bfloat16)
+    assert all(np.asarray(l).dtype == np.float32 for l in jax.tree.leaves(gp16))
+    for a, b in zip(jax.tree.leaves(gp32), jax.tree.leaves(gp16)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.abs(a - b).max() <= 0.05 * max(np.abs(a).max(), 1e-6)
+    a, b = np.asarray(gx32, np.float32), np.asarray(gx16, np.float32)
+    assert np.abs(a - b).max() <= 0.05 * np.abs(a).max()
