@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["trace", "annotate", "measure_seconds", "measure_throughput",
-           "htsat_flops_per_clip"]
+           "htsat_flops_per_clip", "text_tower_flops_per_sample"]
 
 
 @contextlib.contextmanager
@@ -166,4 +166,24 @@ def htsat_flops_per_clip(
     f += 2 * n_final * c_final * cfg.num_classes * 3  # kernel (SF, 3) approx
     # audio projection MLP 768 -> 512 -> 512
     f += 2 * (c_final * 512 + 512 * 512)
+    return float(f)
+
+
+def text_tower_flops_per_sample(cfg, seq_len: int = 77) -> float:
+    """Analytical forward FLOPs for one 77-token text through a BERT-style
+    tower (roberta/bert; multiply-add = 2 FLOPs). Companion of
+    :func:`htsat_flops_per_clip` for the contrastive train-step MFU: at
+    roberta-base width the text forward (~13.2 GF) is the same order as the
+    audio forward, which is why the train step is ~5x the inference FLOPs
+    per clip before the backward's 2x."""
+    d = cfg.hidden_size
+    i = cfg.intermediate_size
+    t = seq_len
+    per_layer = (
+        2 * t * d * d * 4          # q/k/v/out projections
+        + 2 * 2 * t * t * d        # scores + probs@V
+        + 2 * 2 * t * d * i        # fc1 + fc2
+    )
+    f = cfg.num_layers * per_layer
+    f += 2 * d * d  # pooler (CLS row only)
     return float(f)

@@ -362,3 +362,13 @@ def test_eval_linear_probe_sweep(tmp_path):
     assert out["best_ckpt"] == "epoch_2"
     assert out["best_acc"] == out["per_ckpt"]["epoch_2"]
     assert out["per_ckpt"]["epoch_2"] > out["per_ckpt"]["epoch_1"]
+
+
+def test_text_tower_flops_per_sample():
+    from audio_residual_tpu.models.roberta import RobertaConfig
+    from audio_residual_tpu.utils.profiling import text_tower_flops_per_sample
+
+    f = text_tower_flops_per_sample(RobertaConfig())
+    assert 10e9 < f < 20e9  # roberta-base @ 77 tokens ~= 13.3 GF
+    assert text_tower_flops_per_sample(RobertaConfig(), seq_len=38) < f / 1.8
+    assert text_tower_flops_per_sample(RobertaConfig(num_layers=24)) > 1.9 * f
