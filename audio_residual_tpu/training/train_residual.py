@@ -120,6 +120,7 @@ def cache_prefix_tokens(
     *,
     max_len: int = 480000,
     exact_only: bool = False,
+    quantize: bool = False,
 ) -> list | None:
     """Run the frozen encoder prefix (frontend + patch embed + layers below
     the first injected layer) ONCE and cache the tokens host-side — the
@@ -128,10 +129,15 @@ def cache_prefix_tokens(
     ``exact_only=True`` (the auto-cache path): returns ``None`` as soon as a
     batch is longer than ``max_len`` — such clips go through ``rand_trunc``,
     whose crop varies per step in the uncached loop (`data.py:465-468`), so
-    a one-shot cache would silently freeze the augmentation."""
+    a one-shot cache would silently freeze the augmentation.
+    ``quantize=True`` applies the eval path's int16 round-trip before
+    featurizing (`src/evaluation.py:93`) — use for
+    :func:`evaluate_zero_shot` caches (training does not quantize)."""
 
     @jax.jit
     def prefix(wav):
+        if quantize:
+            wav = quantize_roundtrip(wav)
         batch = featurize_batch(wav, max_len)
         return clap_mod.encode_audio(
             params, batch, cfg, stop_at_layer=until_layer
@@ -233,17 +239,27 @@ def evaluate_zero_shot(
     max_len: int = 480000,
     double_ffn_compat: bool = True,
     quantize: bool = True,
+    start_layer: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (predictions, targets, similarities); int16 round-trip applied like
-    the reference eval path (`src/evaluation.py:93` + `hook.py:180-184`)."""
+    the reference eval path (`src/evaluation.py:93` + `hook.py:180-184`).
+
+    ``start_layer > 0``: batches carry cached frozen-prefix TOKENS (see
+    :func:`cache_prefix_tokens` — built from quantized waveforms for this
+    eval path) instead of waveforms; always exact, since eval featurizes
+    without a crop rng."""
 
     @jax.jit
     def embed(wav):
-        if quantize:
-            wav = quantize_roundtrip(wav)
-        batch = featurize_batch(wav, max_len)
+        if start_layer > 0:
+            batch = {"tokens": wav}
+        else:
+            if quantize:
+                wav = quantize_roundtrip(wav)
+            batch = featurize_batch(wav, max_len)
         out = clap_mod.encode_audio(
-            params, batch, cfg, residual=residual, double_ffn_compat=double_ffn_compat
+            params, batch, cfg, residual=residual,
+            double_ffn_compat=double_ffn_compat, start_layer=start_layer,
         )
         return out["normalized"]
 
@@ -387,6 +403,14 @@ def train_with_config(
         )
         start_layer = min(frozen)
         train_batches = lambda: iter(cached)  # noqa: E731
+        # eval side too: the per-epoch val embed below min(frozen) is
+        # λ-independent and eval is deterministic (quantized featurize, no
+        # crop rng) — cache it once, each epoch pays only the suffix
+        val_cached = cache_prefix_tokens(
+            params, cfg, val_batches(), start_layer, max_len=max_len,
+            quantize=True,
+        )
+        val_batches = lambda: iter(val_cached)  # noqa: E731
     step, loss_fn = make_zero_shot_step(params, cfg, text_embeds, frozen, optimizer,
                                         max_len=max_len, start_layer=start_layer,
                                         tokens_input=start_layer > 0)
@@ -401,6 +425,7 @@ def train_with_config(
         preds, targets, _ = evaluate_zero_shot(
             params, cfg, val_batches(), text_embeds,
             residual=_merge_residual(lam, frozen), max_len=max_len,
+            start_layer=start_layer,
         )
         val_acc = float((preds == targets).mean())
         best_val_acc = max(best_val_acc, val_acc)

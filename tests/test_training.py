@@ -357,3 +357,33 @@ def test_cache_prefix_exact_only_bails_on_rand_trunc(setup):
     assert train_residual.cache_prefix_tokens(
         params, CFG, long_batches(), 1, max_len=MAX_LEN, exact_only=True
     ) is None
+
+
+def test_train_with_config_layer1_cached_matches_uncached_eval(setup):
+    """The sweep runner's auto prefix cache (train AND per-epoch eval side)
+    is exact: its reported val accuracy equals a from-scratch full-waveform
+    evaluate_zero_shot with the trained residual."""
+    params, text_embeds, make_batches = setup
+    rng = np.random.default_rng(4)
+    q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    import pickle, tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        os.makedirs(os.path.join(td, "DS"))
+        with open(os.path.join(td, "DS", "layer_1_evalfold_0"), "wb") as f:
+            pickle.dump({"components": q.astype(np.float32),
+                         "mean": rng.standard_normal(64).astype(np.float32) * 0.01,
+                         "n_components": 64, "input_dim": 64}, f)
+        out = train_residual.train_with_config(
+            {"lr": 0.05, "epochs": 2, "inject_layers": (1,), "eval_fold": 0,
+             "max_len": MAX_LEN},
+            params, CFG, "DS", [(make_batches(21), make_batches(22))],
+            text_embeds, td,
+        )
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["history"][-1]["train_loss"])
+    preds, targets, _ = train_residual.evaluate_zero_shot(
+        params, CFG, make_batches(22)(), text_embeds,
+        residual=out["residual"], max_len=MAX_LEN,
+    )
+    assert out["history"][-1]["val_acc"] == float((preds == targets).mean())
