@@ -62,6 +62,8 @@ def _rescan():
 
 
 def list_models() -> list[str]:
+    if not _MODEL_CONFIGS:
+        _rescan()
     return list(_MODEL_CONFIGS)
 
 

@@ -12,8 +12,11 @@ from audio_residual_tpu.utils.tokenizer import ClipBPETokenizer, HashTokenizer
 
 
 def test_list_models_registry():
-    factory._rescan()
+    # lazy first call must scan by itself (fresh-import contract,
+    # `factory.py:26-50` scans at import in the reference)
+    factory._MODEL_CONFIGS.clear()
     models = factory.list_models()
+    assert len(models) == 21, models  # 11 audio + 10 vision configs
     for name in ("HTSAT-tiny", "HTSAT-base", "HTSAT-large", "PANN-6", "PANN-10", "PANN-14"):
         assert name in models, models
     cfg = factory.get_model_config("HTSAT-tiny")
