@@ -109,9 +109,12 @@ def _rows_kernel(rows_hbm, basis_ref, mel_ref, o_ref, scratch, sem,
     o_ref[0] = 10.0 * _LOG10_INV * jnp.log(jnp.maximum(mel, amin)) - db_offset
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dft_mode"))
+@functools.partial(jax.jit, static_argnames=("cfg", "dft_mode", "frame_block"))
 def fused_logmel(
-    wav: jnp.ndarray, cfg: fe.FrontendConfig, dft_mode: str | None = None
+    wav: jnp.ndarray,
+    cfg: fe.FrontendConfig,
+    dft_mode: str | None = None,
+    frame_block: int | None = None,
 ) -> jnp.ndarray:
     """``[B, T] -> [B, frames, n_mels]`` (top_db unsupported: HTSAT uses None).
 
@@ -120,13 +123,22 @@ def fused_logmel(
     ``dft_mode`` overrides the module default (see ``DFT_MODE``); the model
     path passes "bf16" under its bf16 AMP mode (measured ~0.05 dB post-log,
     min embedding cos 0.999994 vs pure-f32; "bf16x3" remains available for
-    3.2e-3 dB max error over a ~50 dB range)."""
+    3.2e-3 dB max error over a ~50 dB range). In "bf16" mode the row buffer
+    itself is stored/DMAed as bf16 — bit-identical to casting the f32 rows
+    inside the dot (round-to-nearest happens once either way), while halving
+    the HBM traffic of both the XLA pre-pads and the per-program DMA.
+    ``frame_block`` overrides the frames-per-program block (perf sweeps)."""
     assert cfg.top_db is None
     mode = dft_mode if dft_mode is not None else DFT_MODE
+    # bf16x3 needs f32 rows in-kernel to split the lo/hi pair product
+    row_dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
+    align = 16 if row_dtype == jnp.bfloat16 else 8  # sublane tile height
     b, t = wav.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
     pad = n_fft // 2
-    x = jnp.pad(wav, [(0, 0), (pad, pad)], mode="reflect")
+    # cast before the pads: reflect/zero padding commutes with the cast, so
+    # the two full-signal pad copies below also run at the row dtype's width
+    x = jnp.pad(wav.astype(row_dtype), [(0, 0), (pad, pad)], mode="reflect")
     nf = (x.shape[1] - n_fft) // hop + 1
     k = -(-n_fft // hop)
     widths = []
@@ -135,11 +147,12 @@ def fused_logmel(
         widths.append(min(hop, n_fft - used))
         used += widths[-1]
 
-    # frame block: 512 on the hot path, shrunk (8-aligned for the f32
-    # sublane tiling) for short inputs so a 51-frame clip doesn't pay for 512
-    blk = min(512, -(-nf // 8) * 8)
+    # frame block: 512 on the hot path, shrunk (tile-aligned for the row
+    # dtype) for short inputs so a 51-frame clip doesn't pay for 512
+    blk = min(frame_block or 512, -(-nf // align) * align)
+    assert blk % align == 0, (blk, align)
     nf_pad = -(-nf // blk) * blk
-    overhang = -(-(k - 1) // 8) * 8  # DMA windows need 8-row alignment
+    overhang = -(-(k - 1) // align) * align  # DMA windows need tile-aligned rows
     rows_needed = nf_pad + overhang
     # rows_needed*hop can fall short of the padded signal when hop ~ n_fft
     # and nf is already blk-aligned (no shipped config, but FrontendConfig
@@ -175,8 +188,8 @@ def fused_logmel(
         out_specs=pl.BlockSpec((1, blk, cfg.n_mels), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nf_pad, cfg.n_mels), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((blk + overhang, hop_pad), jnp.float32),
+            pltpu.VMEM((blk + overhang, hop_pad), row_dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(rows.astype(jnp.float32), basis, mel)
+    )(rows.astype(row_dtype), basis, mel)
     return out[:, :nf]

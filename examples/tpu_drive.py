@@ -216,6 +216,28 @@ def main() -> int:
                 / np.abs(np.asarray(hi)).max())
             assert rel_bf < out["bf16_rel_err_bound"], (tag, rel_bf)
             out[f"{tag}_bf16_rel_err"] = rel_bf
+
+        # fused log-mel frontend on real Mosaic: exact f32 mode vs the XLA
+        # twin, and the AMP "bf16" mode (bf16 ROW STORAGE — halved DMA +
+        # pre-pad traffic) within its documented post-log dB envelope
+        from audio_residual_tpu.ops import frontend as fe2
+        from audio_residual_tpu.ops.pallas import frontend as pfe
+
+        fcfg = fe2.FrontendConfig()
+        r = np.random.default_rng(3)
+        wav = jnp.asarray((r.standard_normal((4, 480000)) * 0.1).astype(np.float32))
+        with jax.default_matmul_precision("highest"):
+            mel_hi = np.asarray(jax.jit(lambda w: fe2.logmel(w, fcfg))(wav))
+        mel_f32 = np.asarray(jax.jit(
+            lambda w: pfe.fused_logmel(w, fcfg, dft_mode="f32"))(wav))
+        mel_bf = np.asarray(jax.jit(
+            lambda w: pfe.fused_logmel(w, fcfg, dft_mode="bf16"))(wav))
+        out["frontend_f32_db_bound"] = 1e-3
+        out["frontend_bf16_db_bound"] = 0.5
+        out["frontend_f32_max_db"] = float(np.abs(mel_f32 - mel_hi).max())
+        out["frontend_bf16_max_db"] = float(np.abs(mel_bf - mel_hi).max())
+        assert out["frontend_f32_max_db"] < out["frontend_f32_db_bound"]
+        assert out["frontend_bf16_max_db"] < out["frontend_bf16_db_bound"]
         return out
 
     stage("compiled_kernel_parity", s5)

@@ -478,6 +478,38 @@ def test_fused_frontend_bf16x3_mode(rng):
     assert float(jnp.abs(got - ref).max()) < 0.02  # dB
 
 
+def test_fused_frontend_bf16_rows_mode(rng):
+    """AMP-mode DFT with bf16 ROW STORAGE (halved DMA + pre-pad traffic):
+    stays within the documented post-log tolerance of the f32 kernel, and
+    the rounding point is unchanged — rows cast once, same as the in-dot
+    cast of the old bf16 path."""
+    from audio_residual_tpu.ops import frontend as fe
+    from audio_residual_tpu.ops.pallas import frontend as pfe
+
+    cfg = fe.FrontendConfig()
+    wav = jnp.asarray((rng.standard_normal((2, 24000)) * 0.1).astype(np.float32))
+    ref = fe.logmel(wav, cfg)
+    with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        got = pfe.fused_logmel(wav, cfg, dft_mode="bf16")
+    # single-pass bf16 DFT: ~0.05 dB typical, generous bound for CPU interp
+    assert float(jnp.abs(got - ref).max()) < 0.5  # dB
+
+
+def test_fused_frontend_frame_block_override(rng):
+    """frame_block only re-tiles the grid — per-frame math is independent of
+    the block up to the backend matmul's M-dependent accumulation order
+    (last-ulp), so any override reproduces the default result tightly."""
+    from audio_residual_tpu.ops import frontend as fe
+    from audio_residual_tpu.ops.pallas import frontend as pfe
+
+    cfg = fe.FrontendConfig()
+    wav = jnp.asarray((rng.standard_normal((1, 24000)) * 0.1).astype(np.float32))
+    with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        base = pfe.fused_logmel(wav, cfg)
+        blk16 = pfe.fused_logmel(wav, cfg, frame_block=16)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(blk16), atol=1e-4, rtol=0)
+
+
 def test_mel_active_bins_trim_is_exact(rng):
     """Bins outside [fmin, fmax] have exactly-zero mel weight, so the
     trimmed DFT drops only zero terms (the fused kernel's ~1.7x FLOP cut
