@@ -22,6 +22,7 @@ __all__ = [
     "compare_variants",
     "eval_linear_probe_sweep",
     "eval_dcase",
+    "eval_dcase_sweep",
     "visualize_eval_metrics",
     "plot_lambda_histogram",
 ]

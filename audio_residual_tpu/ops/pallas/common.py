@@ -55,18 +55,22 @@ def pick_head_group(nh: int, hd: int, n: int, mxu_dtype=None) -> int:
     path must not carry (ADVICE r3).
 
     ``ARPU_ATTN_HG`` overrides for A/B measurement (\"1\" = plain per-head
-    loop) and is honored on either path (an explicit experimenter request);
-    malformed values or groups that don't divide the heads / exceed the
-    128 contraction lanes fall back to 1. NOTE: the env var is read at
-    TRACE time — like ``frontend.DFT_MODE``, changing it after a jit trace
-    of the same shapes is a silent no-op; restart the process (or clear
-    the jit caches) between A/B arms.
+    loop, honored on either path); values >1 are honored only under AMP —
+    the golden path must stay exact even under the experimenter knob, since
+    the bench accuracy guard compares AGAINST the f32 path and would cancel
+    a deviation injected into it. Malformed values or groups that don't
+    divide the heads / exceed the 128 contraction lanes fall back to 1.
+    NOTE: the env var is read at TRACE time — like ``frontend.DFT_MODE``,
+    changing it after a jit trace of the same shapes is a silent no-op;
+    restart the process (or clear the jit caches) between A/B arms.
     """
     env = os.environ.get("ARPU_ATTN_HG", "auto")
     if env not in ("", "auto"):
         try:
             hg = int(env)
         except ValueError:
+            return 1
+        if hg > 1 and mxu_dtype is None:
             return 1
         return hg if hg >= 1 and nh % hg == 0 and hg * hd <= 128 else 1
     if mxu_dtype is None:

@@ -148,8 +148,10 @@ def fused_logmel(
         used += widths[-1]
 
     # frame block: 512 on the hot path, shrunk (tile-aligned for the row
-    # dtype) for short inputs so a 51-frame clip doesn't pay for 512
-    blk = min(frame_block or 512, -(-nf // align) * align)
+    # dtype) for short inputs so a 51-frame clip doesn't pay for 512; an
+    # explicit override is rounded up to the row dtype's tile height so a
+    # sweep grid valid for f32 (8-row tiles) stays usable in bf16 (16-row)
+    blk = min(-(-(frame_block or 512) // align) * align, -(-nf // align) * align)
     assert blk % align == 0, (blk, align)
     nf_pad = -(-nf // blk) * blk
     overhang = -(-(k - 1) // align) * align  # DMA windows need tile-aligned rows

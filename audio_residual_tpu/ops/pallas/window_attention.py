@@ -320,6 +320,11 @@ def fused_window_attention(
         mask = jnp.zeros((nw, n, n), jnp.float32)
 
     if g is None:
+        if mxu_dtype is not None:
+            # the esize=2 budget below assumes the streamed x/out blocks are
+            # 2-byte; an f32 x under AMP would silently exceed it (the dots
+            # cast operands to mxu_dtype anyway, so this round is identical)
+            x = x.astype(mxu_dtype)
         plan = wide_plan(nw, n, c, nh, 2 if mxu_dtype is not None else 4)
         if plan is None:
             raise ValueError("window-attention block does not fit VMEM; use the XLA path")

@@ -126,10 +126,13 @@ def cache_prefix_tokens(
     the first injected layer) ONCE and cache the tokens host-side — the
     epoch loop then pays only for the suffix.
 
-    ``exact_only=True`` (the auto-cache path): returns ``None`` as soon as a
-    batch is longer than ``max_len`` — such clips go through ``rand_trunc``,
-    whose crop varies per step in the uncached loop (`data.py:465-468`), so
-    a one-shot cache would silently freeze the augmentation.
+    ``exact_only=True``: returns ``None`` as soon as a batch is longer than
+    ``max_len`` — such clips go through ``rand_trunc``, whose crop varies per
+    step in the uncached loop (`data.py:465-468`), so a one-shot cache would
+    silently freeze the augmentation. (:func:`train_residual`'s auto path
+    pre-scans lengths on a fresh iterator instead, so no prefix compute is
+    wasted when a long clip appears late; this flag remains for single-pass
+    iterables.)
     ``quantize=True`` applies the eval path's int16 round-trip before
     featurizing (`src/evaluation.py:93`) — use for
     :func:`evaluate_zero_shot` caches (training does not quantize)."""
@@ -188,14 +191,17 @@ def train_residual(
     opt_state = optimizer.init(lam)
     start_layer = 0
     if cache_prefix is None:
-        cached = (
-            cache_prefix_tokens(
-                params, cfg, train_batches(), min(frozen),
-                max_len=max_len, exact_only=True,
+        # length pre-scan on a fresh iterator (host-side shapes only): a
+        # >max_len clip anywhere disables caching (rand_trunc crops must stay
+        # fresh per step) — checking before the device pass means a late long
+        # clip can no longer throw away an epoch's worth of prefix compute
+        cached = None
+        if min(frozen) >= 1 and all(
+            np.asarray(wav).shape[-1] <= max_len for wav, _ in train_batches()
+        ):
+            cached = cache_prefix_tokens(
+                params, cfg, train_batches(), min(frozen), max_len=max_len
             )
-            if min(frozen) >= 1
-            else None
-        )
         cache_prefix = cached is not None
     elif cache_prefix:
         cached = cache_prefix_tokens(params, cfg, train_batches(), min(frozen), max_len=max_len)

@@ -84,12 +84,13 @@ def measure_seconds(fn, args, *, iters: int = 10, reps: int = 3) -> float:
         delta = t2 - t1
         if delta > max(spread1, spread2, 1e-7):
             return delta / n
+        last_n = n
         n *= 4
     raise RuntimeError(
         f"measure_seconds: timing delta {delta * 1e6:.1f}us did not clear the "
         f"rep jitter ({spread1 * 1e6:.1f}/{spread2 * 1e6:.1f}us) even at "
-        f"scan length {n} — workload too small or environment too noisy for "
-        f"a trustworthy number"
+        f"scan lengths {last_n}/{2 * last_n} — workload too small or "
+        f"environment too noisy for a trustworthy number"
     )
 
 

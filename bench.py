@@ -230,7 +230,13 @@ def _probe_backend(timeout_s: float) -> tuple[bool, str]:
         return False, f"backend probe hung >{timeout_s:.0f}s (tunnel stall)"
     if r.returncode != 0:
         return False, (r.stderr or r.stdout).strip().splitlines()[-1][:300] if (r.stderr or r.stdout).strip() else f"probe rc={r.returncode}"
-    return True, r.stdout.strip()
+    platform = r.stdout.strip()
+    # a healthy probe must surface a TPU device: JAX silently falls back to
+    # CPU when the plugin is unconfigured, and a "clips/sec/chip" number
+    # measured on the 1-core host would be a normal-looking bad artifact
+    if platform not in ("tpu", "axon"):
+        return False, f"no TPU backend (default platform is {platform!r})"
+    return True, platform
 
 
 def _wait_for_backend() -> str | None:
@@ -245,9 +251,9 @@ def _wait_for_backend() -> str | None:
             return None
         last = msg
         sleep_s = min(30 * (2**attempt), 300)
+        more = f"; retrying in {sleep_s}s" if attempt + 1 < retries else ""
         print(
-            f"# backend unavailable (attempt {attempt + 1}/{retries}): {msg}; "
-            f"retrying in {sleep_s}s",
+            f"# backend unavailable (attempt {attempt + 1}/{retries}): {msg}{more}",
             file=sys.stderr,
         )
         if attempt + 1 < retries:
@@ -286,8 +292,23 @@ def main() -> None:
         except RuntimeError as e:
             # mid-run tunnel death surfaces as UNAVAILABLE; anything else is
             # a real bug and must propagate
-            if "UNAVAILABLE" not in str(e) or attempt + 1 == attempts:
+            if "UNAVAILABLE" not in str(e):
                 raise
+            if attempt + 1 == attempts:
+                # exhausting retries on tunnel deaths is still an environment
+                # failure — the contract is a distinguishable JSON line,
+                # never a bare traceback
+                _emit(
+                    {
+                        "metric": "ESC-50 zero-shot+ResiDual inference clips/sec/chip",
+                        "value": None,
+                        "unit": "clips/sec",
+                        "vs_baseline": None,
+                        "env_down": True,
+                        "error": f"environment-down after {attempts} attempts: {str(e)[:300]}",
+                    }
+                )
+                sys.exit(1)
             print(f"# bench attempt {attempt + 1} hit tunnel failure: "
                   f"{str(e)[:200]}; re-probing", file=sys.stderr)
             if _wait_for_backend() is not None:

@@ -489,3 +489,29 @@ def load_jax_params_into_reference_pann(model: nn.Module, params: dict) -> None:
     bad = [m for m in missing if not any(a in m for a in allowed)]
     assert not bad, f"missing keys: {bad}"
     assert not unexpected, f"unexpected keys: {unexpected}"
+
+
+def load_ref_dcase_get_metrics(n_texts: int):
+    """Verbatim ``get_metrics`` from the reference's DCASE eval
+    (`evaluate/eval_dcase.py:33-48`), extracted by AST so its module-level
+    imports (open_clip, librosa) never run.
+
+    The reference function reads the module-global ``text_features`` for the
+    5-captions-per-audio ground truth (a scoping leak from ``__main__`` in
+    the reference); the exec namespace provides one of the requested length.
+    """
+    import ast
+    import os
+
+    path = os.path.join(
+        os.path.dirname(REF_DIR), "evaluate", "eval_dcase.py"
+    )
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    fn = next(
+        node for node in tree.body
+        if isinstance(node, ast.FunctionDef) and node.name == "get_metrics"
+    )
+    ns = {"torch": torch, "np": np, "text_features": list(range(n_texts))}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), path, "exec"), ns)
+    return ns["get_metrics"]

@@ -248,9 +248,15 @@ def test_eval_dcase_matched_pairs(tmp_path):
 
 def test_eval_dcase_clotho_protocol(tmp_path):
     """5-captions-per-audio layout -> the reference's text->audio ranking
-    with repeat-interleaved ground truth (`eval_dcase.py:33-48`), scored by
-    a hand-computed numpy oracle."""
+    with repeat-interleaved ground truth, scored head-to-head against the
+    ACTUAL reference ``get_metrics`` (`eval_dcase.py:33-48`) run verbatim."""
     import pickle
+    import sys as _sys
+
+    import torch
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import load_ref_dcase_get_metrics
 
     from audio_residual_tpu.evaluate.harness import eval_dcase
 
@@ -268,20 +274,12 @@ def test_eval_dcase_clotho_protocol(tmp_path):
             {"audio_features": a, "text_features": t, "logit_scale_a": 14.3}, f
         )
     m = eval_dcase(str(p))
-    # numpy oracle, reference semantics
+    # oracle: the reference function itself, on the same normalized logits
     an = a / np.linalg.norm(a, axis=-1, keepdims=True)
     tn = t / np.linalg.norm(t, axis=-1, keepdims=True)
-    logits = tn @ an.T
-    truth = np.repeat(np.arange(n), 5)
-    order = np.argsort(-logits, axis=-1)
-    ranks = np.argmax(order == truth[:, None], axis=-1)
-    assert m["mean_rank"] == float(ranks.mean() + 1)
-    assert m["median_rank"] == float(np.floor(np.median(ranks)) + 1)
-    for k in (1, 5, 10):
-        assert m[f"R@{k}"] == float((ranks < k).mean())
-    assert abs(
-        m["mAP@10"] - float(np.mean(np.where(ranks < 10, 1 / (ranks + 1), 0.0)))
-    ) < 1e-12
+    ref = load_ref_dcase_get_metrics(len(t))(torch.from_numpy(tn @ an.T))
+    for k in ("mean_rank", "median_rank", "R@1", "R@5", "R@10", "mAP@10"):
+        assert m[k] == pytest.approx(float(ref[k]), abs=1e-12), (k, m[k], ref[k])
     assert m["R@1"] == 29 / 30  # exactly the one corrupted caption misses
 
 

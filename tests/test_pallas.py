@@ -103,7 +103,13 @@ def test_pick_head_group_gate():
 
     with _mock.patch.dict(os.environ, {"ARPU_ATTN_HG": "2"}):
         assert pc.pick_head_group(4, 24, 64, bf16) == 2  # A/B override
-        assert pc.pick_head_group(4, 24, 64, None) == 2  # explicit: both paths
+        # hg>1 never reaches the golden path, even explicitly: the packed
+        # softmax deviation must not leak into the exact path the bench
+        # accuracy guard compares against
+        assert pc.pick_head_group(4, 24, 64, None) == 1
+    with _mock.patch.dict(os.environ, {"ARPU_ATTN_HG": "1"}):
+        assert pc.pick_head_group(4, 24, 64, bf16) == 1  # "1" honored anywhere
+        assert pc.pick_head_group(4, 24, 64, None) == 1
     with _mock.patch.dict(os.environ, {"ARPU_ATTN_HG": "3"}):
         assert pc.pick_head_group(4, 24, 64, bf16) == 1  # invalid -> plain loop
     with _mock.patch.dict(os.environ, {"ARPU_ATTN_HG": "true"}):

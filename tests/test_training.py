@@ -316,7 +316,8 @@ def test_auto_cache_prefix_layer1_exact_and_active(setup, monkeypatch):
     r_auto, h_auto = train_residual.train_residual(
         params, CFG, make_batches(11), text_embeds, residual, **kw
     )
-    assert len(calls) == 1 and calls[0]["exact_only"]
+    # the auto path pre-scans lengths host-side, then caches unconditionally
+    assert len(calls) == 1 and "exact_only" not in calls[0]
     r_off, h_off = train_residual.train_residual(
         params, CFG, make_batches(11), text_embeds, residual,
         cache_prefix=False, **kw
@@ -343,6 +344,33 @@ def test_auto_cache_prefix_stays_off_at_layer0(setup, monkeypatch):
     train_residual.train_residual(
         params, CFG, make_batches(12), text_embeds, residual, epochs=1, lr=0.05
     )
+
+
+def test_auto_cache_skips_device_work_on_late_long_clip(setup, monkeypatch):
+    """A >max_len clip in the LAST batch must disable the auto cache without
+    any wasted prefix compute: the length pre-scan runs host-side first, so
+    cache_prefix_tokens is never called."""
+    params, text_embeds, make_batches = setup
+    rng = np.random.default_rng(3)
+    q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    residual = {1: init_residual_params(
+        q.astype(np.float32), rng.standard_normal(64).astype(np.float32) * 0.01
+    )}
+
+    def mixed_batches():
+        r = np.random.default_rng(7)
+        yield (r.standard_normal((2, MAX_LEN)) * 0.1).astype(np.float32), r.integers(0, N_CLASSES, 2)
+        yield (r.standard_normal((2, MAX_LEN + 64)) * 0.1).astype(np.float32), r.integers(0, N_CLASSES, 2)
+
+    monkeypatch.setattr(
+        train_residual, "cache_prefix_tokens",
+        lambda *a, **kw: pytest.fail("pre-scan must bail before any prefix compute"),
+    )
+    _, hist = train_residual.train_residual(
+        params, CFG, mixed_batches, text_embeds, residual, epochs=1, lr=0.05,
+        max_len=MAX_LEN,
+    )
+    assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])
 
 
 def test_cache_prefix_exact_only_bails_on_rand_trunc(setup):
