@@ -320,6 +320,7 @@ def fused_window_attention(
         mask = jnp.zeros((nw, n, n), jnp.float32)
 
     if g is None:
+        caller_dtype = x.dtype
         if mxu_dtype is not None:
             # the esize=2 budget below assumes the streamed x/out blocks are
             # 2-byte; an f32 x under AMP would silently exceed it (the dots
@@ -328,10 +329,16 @@ def fused_window_attention(
         plan = wide_plan(nw, n, c, nh, 2 if mxu_dtype is not None else 4)
         if plan is None:
             raise ValueError("window-attention block does not fit VMEM; use the XLA path")
-        return _wide_attention(
+        out = _wide_attention(
             x, wqkv, bqkv, wproj, bproj, bias, mask,
             nw=nw, n=n, c=c, nh=nh, scale=scale, plan=plan, mxu_dtype=mxu_dtype,
         )
+        # output-dtype contract (ADVICE r4): the standard path stores in the
+        # CALLER's dtype under AMP — an f32 x must come back f32 regardless
+        # of which plan served the layer
+        if mxu_dtype is not None and out.dtype != caller_dtype:
+            out = out.astype(caller_dtype)
+        return out
 
     bias = common.pack_bias_groups(bias, hg)
     groups = nw // g

@@ -18,7 +18,17 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["trace", "annotate", "measure_seconds", "measure_throughput",
-           "htsat_flops_per_clip", "text_tower_flops_per_sample"]
+           "htsat_flops_per_clip", "text_tower_flops_per_sample",
+           "TimingUnreliableError"]
+
+
+class TimingUnreliableError(RuntimeError):
+    """The two-point timing delta never cleared the rep-to-rep jitter band.
+
+    An environment-degraded condition (noisy tunnel / workload too small),
+    not a code bug: callers that promise a distinguishable environment-down
+    artifact (bench.py) catch this specifically instead of letting a bare
+    traceback eat the run (ADVICE r4)."""
 
 
 @contextlib.contextmanager
@@ -86,7 +96,7 @@ def measure_seconds(fn, args, *, iters: int = 10, reps: int = 3) -> float:
             return delta / n
         last_n = n
         n *= 4
-    raise RuntimeError(
+    raise TimingUnreliableError(
         f"measure_seconds: timing delta {delta * 1e6:.1f}us did not clear the "
         f"rep jitter ({spread1 * 1e6:.1f}/{spread2 * 1e6:.1f}us) even at "
         f"scan lengths {last_n}/{2 * last_n} — workload too small or "

@@ -283,16 +283,25 @@ def main() -> None:
         )
         sys.exit(1)
 
-    attempts = int(os.environ.get("BENCH_RUN_RETRIES", "3"))
+    # clamp: BENCH_RUN_RETRIES<=0 must not skip the loop and leave value=None
+    # for round() to trip over — the exact bare-traceback failure mode this
+    # hardening exists to eliminate (ADVICE r4)
+    attempts = max(1, int(os.environ.get("BENCH_RUN_RETRIES", "3")))
     value = mfu = guard = None
     for attempt in range(attempts):
         try:
             value, mfu, guard = bench_jax_tpu()
             break
         except RuntimeError as e:
-            # mid-run tunnel death surfaces as UNAVAILABLE; anything else is
+            # mid-run tunnel death surfaces as UNAVAILABLE, and a tunnel too
+            # noisy for the two-point timing to clear its jitter band raises
+            # TimingUnreliableError — both environmental; anything else is
             # a real bug and must propagate
-            if "UNAVAILABLE" not in str(e):
+            from audio_residual_tpu.utils.profiling import TimingUnreliableError
+
+            if "UNAVAILABLE" not in str(e) and not isinstance(
+                e, TimingUnreliableError
+            ):
                 raise
             if attempt + 1 == attempts:
                 # exhausting retries on tunnel deaths is still an environment
@@ -323,6 +332,18 @@ def main() -> None:
                     }
                 )
                 sys.exit(1)
+    if value is None:  # belt-and-braces: no success, no env_down emitted yet
+        _emit(
+            {
+                "metric": "ESC-50 zero-shot+ResiDual inference clips/sec/chip",
+                "value": None,
+                "unit": "clips/sec",
+                "vs_baseline": None,
+                "env_down": True,
+                "error": "environment-down: no successful bench attempt",
+            }
+        )
+        sys.exit(1)
     try:
         baseline = bench_torch_cpu()
     except Exception:

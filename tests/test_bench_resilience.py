@@ -97,6 +97,41 @@ def test_main_emits_env_down_on_final_attempt_unavailable(monkeypatch, capsys):
     assert "UNAVAILABLE" in payload["error"]
 
 
+def test_main_clamps_zero_retries(monkeypatch, capsys):
+    """BENCH_RUN_RETRIES=0 must not skip the attempt loop and crash on
+    round(None) — it clamps to one attempt (ADVICE r4)."""
+    monkeypatch.setenv("BENCH_RUN_RETRIES", "0")
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda: None)
+    guard = {"min_embed_cos": 0.99999, "argmax_agreement": 1.0}
+    monkeypatch.setattr(bench, "bench_jax_tpu", lambda: (2700.0, 0.181, guard))
+    monkeypatch.setattr(bench, "bench_torch_cpu", lambda: 3.6)
+    bench.main()
+    payload = _last_json(capsys)
+    assert payload["value"] == 2700.0 and "env_down" not in payload
+
+
+def test_main_emits_env_down_on_timing_noise(monkeypatch, capsys):
+    """A tunnel too noisy for the two-point timing is an environmental
+    condition and must produce the distinguishable JSON line (ADVICE r4)."""
+    from audio_residual_tpu.utils.profiling import TimingUnreliableError
+
+    monkeypatch.setenv("BENCH_RUN_RETRIES", "2")
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda: None)
+
+    def noisy(*a, **kw):
+        raise TimingUnreliableError(
+            "measure_seconds: timing delta 3.0us did not clear the rep jitter"
+        )
+
+    monkeypatch.setattr(bench, "bench_jax_tpu", noisy)
+    with pytest.raises(SystemExit) as e:
+        bench.main()
+    assert e.value.code == 1
+    payload = _last_json(capsys)
+    assert payload["env_down"] is True
+    assert "rep jitter" in payload["error"]
+
+
 def test_main_propagates_real_bugs(monkeypatch):
     """Non-UNAVAILABLE errors are real bugs and must raise, not be eaten
     by the resilience wrapper."""
