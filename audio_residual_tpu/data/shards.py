@@ -34,8 +34,43 @@ __all__ = [
     "sample_prop",
     "iter_tar_samples",
     "log_and_continue",
+    "select_text",
     "ShardedAudioText",
 ]
+
+
+def select_text(json_dict_raw: dict, text_augment_selection: str | None,
+                *, text_field: str = "text"):
+    """Augmented-text selection (`training/data.py:509-530` semantics).
+
+    - ``None``/``"none"``: the raw text.
+    - ``"all"``: ``text_augment_all`` when the shard carries it, else raw.
+    - ``"augment_only"``: when ``text_augment_all`` is present, take
+      ``text_augment_t5`` unless it is None (then raw); shards without
+      augmentation fall back to raw.
+    - anything else raises ``NotImplementedError`` like the reference.
+
+    ``text_field`` generalises the raw-text key ("text" in the reference;
+    this pipeline also accepts "caption" shards).
+    """
+    def raw():
+        return json_dict_raw.get(text_field) or json_dict_raw.get("caption") or ""
+
+    if text_augment_selection is None or text_augment_selection == "none":
+        return raw()
+    if text_augment_selection == "all":
+        if "text_augment_all" in json_dict_raw:
+            return json_dict_raw["text_augment_all"]
+        return raw()
+    if text_augment_selection == "augment_only":
+        if "text_augment_all" in json_dict_raw:
+            if json_dict_raw.get("text_augment_t5") is None:
+                return raw()
+            return json_dict_raw["text_augment_t5"]
+        return raw()
+    raise NotImplementedError(
+        f"text_augment_selection {text_augment_selection} not implemented"
+    )
 
 
 def log_and_continue(exn: Exception) -> bool:
@@ -171,6 +206,9 @@ class ShardedAudioText:
     seed: int = 0
     batches_per_epoch: int | None = None
     text_field: str = "text"
+    # `--text-augment-selection` (`params.py:547-550`): None/"none"/"all"/
+    # "augment_only"; honored per-sample via :func:`select_text`
+    text_augment_selection: str | None = None
 
     def _node_shards(self, epoch: int) -> list[str]:
         rng = np.random.default_rng(self.seed + epoch)  # detshuffle
@@ -191,10 +229,12 @@ class ShardedAudioText:
                 )
                 text = ""
                 if "json" in sample:
-                    j = sample["json"]
-                    text = j.get(self.text_field) or j.get("caption") or ""
+                    text = select_text(
+                        sample["json"], self.text_augment_selection,
+                        text_field=self.text_field,
+                    )
                     if isinstance(text, list):
-                        text = text[int(rng.integers(len(text)))]
+                        text = text[int(rng.integers(len(text)))] if text else ""
                 buf_wav.append(s["waveform"])
                 buf_long.append(s["longer"])
                 buf_text.append(text)

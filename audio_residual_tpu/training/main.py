@@ -95,6 +95,7 @@ def build_data(args, model_cfg, tokenize):
         data_filling=args.data_filling,
         audio_cfg=audio_cfg,
         batches_per_epoch=(args.train_num_samples // args.batch_size) if args.train_num_samples else None,
+        text_augment_selection=args.text_augment_selection,
     )
     return pipeline.epoch, total
 
