@@ -571,6 +571,82 @@ def test_wide_plan_bf16_budget_widens_chunks(rng, c, nh, nw, res):
     assert rel < 0.03, rel
 
 
+@pytest.mark.parametrize(
+    "use_attn,use_block,use_fe",
+    [(True, False, False), (False, True, False), (False, False, True),
+     (True, True, True)],
+)
+def test_golden_path_toggle_matrix(rng, use_attn, use_block, use_fe):
+    """CLAUDE.md convention, strongest form (VERDICT r4 item 7): with
+    ``compute_dtype=None`` the end-to-end embedding must be independent of
+    every ``use_pallas_*`` toggle. The standalone attention kernel is
+    bit-identical; the fused block/frontend kernels reorder f32
+    accumulations (different blocking), so those arms are bounded at
+    f32-rounding scale (~1e-7 measured) — three orders of magnitude below
+    any bf16 AMP-mode leak (~1e-3), which is what this test exists to
+    catch."""
+    import dataclasses
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import tiny
+
+    from audio_residual_tpu.models import clap as clap_mod
+
+    params = tiny.tiny_clap_params()
+    cfg = tiny.TINY_CLAP
+    wav = jnp.asarray(
+        rng.standard_normal((2, cfg.audio.clip_samples)).astype(np.float32) * 0.1)
+    batch = {"waveform": wav, "longer": jnp.zeros((2,), bool)}
+
+    def run(attn, block, fe):
+        acfg = dataclasses.replace(
+            cfg.audio, use_pallas_attention=attn, use_pallas_block=block,
+            use_pallas_frontend=fe)
+        c = dataclasses.replace(cfg, audio=acfg)
+        return np.asarray(
+            clap_mod.encode_audio(params, batch, c, compute_dtype=None)["normalized"])
+
+    off = run(False, False, False)
+    with mock.patch.object(jax, "default_backend", lambda: "tpu"), \
+         mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        on = run(use_attn, use_block, use_fe)
+    if (use_attn, use_block, use_fe) == (True, False, False):
+        assert (on == off).all(), "standalone W-MSA kernel must be bit-identical"
+    diff = np.abs(on - off).max()
+    assert diff < 1e-6, f"golden path drifted with toggles: {diff}"
+
+
+def test_wide_path_honors_caller_output_dtype(rng):
+    """Output-dtype contract under AMP (ADVICE r4): the wide
+    (weight-streaming) plan must return the CALLER's activation dtype, same
+    as the standard kernel — an f32 x with mxu_dtype set comes back f32."""
+    from audio_residual_tpu.ops.pallas import window_attention as fwa
+
+    c, nh, nw, res = 1024, 16, 4, (16, 16)
+    assert fwa.pick_group(nw, 64, c, nh) is None  # routes through wide plan
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.02)
+    bqkv = jnp.asarray(rng.standard_normal(3 * c).astype(np.float32) * 0.02)
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.02)
+    bproj = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.02)
+    tbl = jnp.asarray(rng.standard_normal((15 ** 2, nh)).astype(np.float32) * 0.02)
+    x32 = jnp.asarray(rng.standard_normal((nw, 64, c)).astype(np.float32) * 0.5)
+
+    with mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        out32 = fwa.fused_window_attention(
+            x32, wqkv, bqkv, wproj, bproj, tbl, nh, 8, nw, 0, res, jnp.bfloat16)
+        out16 = fwa.fused_window_attention(
+            x32.astype(jnp.bfloat16), wqkv, bqkv, wproj, bproj, tbl,
+            nh, 8, nw, 0, res, jnp.bfloat16)
+    assert out32.dtype == jnp.float32  # caller dtype preserved
+    assert out16.dtype == jnp.bfloat16
+    a = np.asarray(out32, np.float32)
+    b = np.asarray(out16, np.float32)
+    assert np.abs(a - b).max() <= 0.02 * max(np.abs(a).max(), 1e-6)
+
+
 def test_fused_block_bf16_backward_amp_grads(rng):
     """Under AMP the custom-vjp backward follows mxu_dtype: GEMM operands
     bf16 (the reference's autocast backward analog), cotangents/weight
