@@ -162,15 +162,18 @@ def encode_audio(
     compute_dtype: Any = None,
     start_layer: int = 0,
     stop_at_layer: int | None = None,
+    stop_at_image: bool = False,
 ) -> dict:
     """Audio branch forward -> output dict (the `get_audio_output_dict`
     equivalent, `model.py:745-762`). Pass ``taps`` for attention/residual
     extraction; ``projected`` / ``normalized`` keys are added on top of the
     branch outputs. The branch dispatches on ``cfg.audio_model_type``
     (`model.py:464-470`); taps/residual/layer-splitting are HTSAT-only
-    (the reference's ResiDual targets Swin blocks)."""
+    (the reference's ResiDual targets Swin blocks). ``stop_at_image`` /
+    ``batch={"image": ...}`` split at the post-frontend image boundary
+    (see :func:`htsat_apply`)."""
     if cfg.audio_model_type == "PANN":
-        if taps or residual or start_layer or stop_at_layer is not None:
+        if taps or residual or start_layer or stop_at_layer is not None or stop_at_image:
             raise ValueError(
                 "taps/residual/start_layer/stop_at_layer are HTSAT-only"
             )
@@ -192,9 +195,10 @@ def encode_audio(
             compute_dtype=compute_dtype,
             start_layer=start_layer,
             stop_at_layer=stop_at_layer,
+            stop_at_image=stop_at_image,
         )
-    if stop_at_layer is not None:
-        return out  # {"tokens": ...} prefix
+    if stop_at_layer is not None or stop_at_image:
+        return out  # {"tokens": ...} / {"image": ...} prefix
     proj = apply_projection(cfg, params["audio_projection"], out["embedding"])
     out["projected"] = proj
     out["normalized"] = l2_normalize(proj)

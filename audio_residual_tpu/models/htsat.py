@@ -621,6 +621,7 @@ def htsat_apply(
     compute_dtype: Any = None,
     start_layer: int = 0,
     stop_at_layer: int | None = None,
+    stop_at_image: bool = False,
 ) -> dict:
     """Full HTSAT forward (`htsat.py:779-834,881-994`).
 
@@ -628,7 +629,13 @@ def htsat_apply(
     the frozen encoder every epoch in the reference — SURVEY.md hard part
     #6): ``stop_at_layer=l`` runs frontend+patch_embed+layers[:l] and returns
     ``{"tokens": x}``; ``start_layer=l`` takes ``batch={"tokens": x}`` and
-    resumes at layer ``l``.
+    resumes at layer ``l``. ``stop_at_image=True`` stops earlier, right after
+    ``reshape_wav2img`` (non-fusion only) and returns ``{"image": [B,H,W,1]}``
+    — at full size 65k floats/clip vs the 480k-sample waveform (7.3x fewer
+    bytes), which makes caching pay even when layer 0 itself is injected
+    (the reference's published best config, PDF Table 1): every epoch skips
+    the frontend + bicubic but keeps all token-level compute live. Resume
+    with ``batch={"image": ...}`` (runs patch_embed + all layers).
 
     Args:
       batch: ``{"waveform": [B, T]}`` (non-fusion) or a raw ``[B, T]`` array;
@@ -647,16 +654,28 @@ def htsat_apply(
     """
     from audio_residual_tpu.residual.module import residual_apply
 
-    if isinstance(batch, dict) and "tokens" in batch:
-        x = batch["tokens"]
-        frames_num = cfg.spec_size
+    if isinstance(batch, dict) and ("tokens" in batch or "image" in batch):
+        if stop_at_image:
+            raise ValueError("stop_at_image needs a waveform input")
+        if "image" in batch:
+            if start_layer != 0:
+                raise ValueError("image input always resumes at layer 0")
+            x = batch["image"]
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
+            frames_num = x.shape[1]
+            x = _patch_embed(params["patch_embed"], x, cfg, longer=None)
+        else:
+            x = batch["tokens"]
+            frames_num = cfg.spec_size
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
         return _htsat_layers_and_head(
             params, x, cfg, frames_num,
             train=train, rng=rng, taps=taps, residual=residual,
             double_ffn_compat=double_ffn_compat, compute_dtype=compute_dtype,
-            start_layer=start_layer, stop_at_layer=stop_at_layer,
+            start_layer=start_layer if "tokens" in batch else 0,
+            stop_at_layer=stop_at_layer,
             residual_apply=residual_apply,
         )
 
@@ -694,7 +713,14 @@ def htsat_apply(
             # bf16 DFT (bench accuracy guard: cos 0.99999+, argmax 100%).
             x = x.astype(compute_dtype)
         x = reshape_wav2img(x, cfg)  # [B, H, W, 1]
+        if stop_at_image:
+            # in the dtype the path produced it: f32 golden, or bf16 under
+            # AMP (where the uncached AMP path also has a bf16 image here —
+            # resuming from this cache is bit-identical either way)
+            return {"image": x}
     else:
+        if stop_at_image:
+            raise ValueError("stop_at_image supports non-fusion waveforms only")
         mel = batch["mel_fusion"]  # [B, 4, T, F]
         mel, bn0_state = frontend.batch_norm_mel(mel, params["bn0"], train=False)
         if compute_dtype is not None:

@@ -71,6 +71,7 @@ def make_zero_shot_step(
     compute_dtype=None,
     start_layer: int = 0,
     tokens_input: bool = False,
+    image_input: bool = False,
 ):
     """Build the jitted ``(lam, opt_state, wav, labels) -> (lam, opt_state,
     loss, n_correct)`` train step. λ is the only trainable pytree.
@@ -78,12 +79,17 @@ def make_zero_shot_step(
     ``start_layer > 0``: inputs are cached frozen-prefix tokens (see
     :func:`cache_prefix_tokens`) instead of waveforms — the per-epoch forward
     then starts at the first injected layer (SURVEY.md hard part #6; the
-    reference re-ran the whole frozen encoder every epoch)."""
+    reference re-ran the whole frozen encoder every epoch).
+    ``image_input``: inputs are cached post-frontend images (see
+    :func:`cache_prefix_images`) — the split that pays at the published
+    best config ``inject_layers=[0]``, where token caching cannot engage."""
 
     def loss_fn(lam, wav, labels, rng=None):
         residual = _merge_residual(lam, frozen_residual)
         if tokens_input:
             batch = {"tokens": wav}
+        elif image_input:
+            batch = {"image": wav}
         else:
             # rng varies rand_trunc crops across steps on >max_len datasets
             # (`data.py:465-468` crops fresh per epoch); None = fixed crop,
@@ -154,6 +160,40 @@ def cache_prefix_tokens(
     return out
 
 
+def cache_prefix_images(
+    params: dict,
+    cfg: clap_mod.CLAPConfig,
+    batches: Iterable,
+    *,
+    max_len: int = 480000,
+    quantize: bool = False,
+) -> list:
+    """Run frontend + bn0 + ``reshape_wav2img`` ONCE and cache the
+    [B, H, W, 1] images host-side (VERDICT r4 item 3).
+
+    The cut that pays at ``inject_layers=[0]`` — the reference's published
+    best config (PDF Table 1), where :func:`cache_prefix_tokens` is gated
+    off (layer-0 TOKENS [4096, 96] outweigh the waveform): the full-size
+    image is 65k floats/clip vs the 480k-sample waveform, 7.3x fewer
+    host->device bytes per step, and every epoch skips the frontend +
+    bicubic (~52 of 334 us/clip on the perf map) while all token-level
+    compute (and the λ gradient) stays live. Exactness: the cached resume
+    is the SAME ops from the image on — caller must pre-check clip lengths
+    like the token path (rand_trunc crops must stay fresh)."""
+
+    @jax.jit
+    def prefix(wav):
+        if quantize:
+            wav = quantize_roundtrip(wav)
+        batch = featurize_batch(wav, max_len)
+        return clap_mod.encode_audio(params, batch, cfg, stop_at_image=True)["image"]
+
+    return [
+        (np.asarray(prefix(jnp.asarray(wav))), np.asarray(labels))
+        for wav, labels in batches
+    ]
+
+
 def train_residual(
     params: dict,
     cfg: clap_mod.CLAPConfig,
@@ -173,18 +213,20 @@ def train_residual(
 
     ``train_batches()`` yields ``(wav [B, T], labels [B])`` numpy pairs.
     Returns the trained residual dict and the per-epoch history.
-    ``cache_prefix`` precomputes the frozen encoder prefix below the first
-    injected layer once, so each epoch pays only the suffix (SURVEY hard
-    part #6; the reference re-ran the whole frozen encoder every epoch).
-    Default ``None`` = auto: cache when the first injected layer is >= 1
-    (at layer 0 the cached tokens [N, 4096, 96] are BIGGER than the
-    waveforms they replace — more host->device bytes per step than the
-    frontend compute they save) and only when featurization is
-    deterministic (clips <= max_len; `rand_trunc` datasets keep fresh
-    per-step crops — see :func:`cache_prefix_tokens`). ``True`` forces
-    caching (crops freeze on >max_len clips), ``False`` disables.
-    A per-step rng (folded from ``seed``) reaches featurization in the
-    uncached loop, so ``rand_trunc`` crops differ across steps.
+    ``cache_prefix`` precomputes the frozen encoder prefix once, so each
+    epoch pays only the suffix (SURVEY hard part #6; the reference re-ran
+    the whole frozen encoder every epoch). Two cuts, picked by the first
+    injected layer: layers >= 1 cache the TOKENS below that layer
+    (:func:`cache_prefix_tokens`); layer 0 — the published best config —
+    caches the post-frontend IMAGE instead (:func:`cache_prefix_images`;
+    layer-0 tokens [N, 4096, 96] would be BIGGER than the waveform, the
+    [256, 256, 1] image is 7.3x smaller and still skips the frontend +
+    bicubic every step). Default ``None`` = auto: cache whenever
+    featurization is deterministic (all clips <= max_len; `rand_trunc`
+    datasets keep fresh per-step crops — see :func:`cache_prefix_tokens`).
+    ``True`` forces caching (crops freeze on >max_len clips), ``False``
+    disables. A per-step rng (folded from ``seed``) reaches featurization
+    in the uncached loop, so ``rand_trunc`` crops differ across steps.
     """
     lam, frozen = _split_residual(residual)
     optimizer = optax.adam(lr)
@@ -195,23 +237,26 @@ def train_residual(
         # >max_len clip anywhere disables caching (rand_trunc crops must stay
         # fresh per step) — checking before the device pass means a late long
         # clip can no longer throw away an epoch's worth of prefix compute
-        cached = None
-        if min(frozen) >= 1 and all(
+        cache_prefix = all(
             np.asarray(wav).shape[-1] <= max_len for wav, _ in train_batches()
-        ):
+        )
+    if cache_prefix:
+        if min(frozen) >= 1:
             cached = cache_prefix_tokens(
                 params, cfg, train_batches(), min(frozen), max_len=max_len
             )
-        cache_prefix = cached is not None
-    elif cache_prefix:
-        cached = cache_prefix_tokens(params, cfg, train_batches(), min(frozen), max_len=max_len)
-    if cache_prefix:
-        start_layer = min(frozen)
+            start_layer = min(frozen)
+        else:
+            cached = cache_prefix_images(
+                params, cfg, train_batches(), max_len=max_len
+            )
         train_batches = lambda: iter(cached)  # noqa: E731
     step, _ = make_zero_shot_step(
         params, cfg, text_embeds, frozen, optimizer,
         max_len=max_len, double_ffn_compat=double_ffn_compat,
-        start_layer=start_layer, tokens_input=cache_prefix,
+        start_layer=start_layer,
+        tokens_input=cache_prefix and start_layer > 0,
+        image_input=cache_prefix and start_layer == 0,
     )
     history = []
     base_rng = jax.random.PRNGKey(seed)
@@ -246,19 +291,23 @@ def evaluate_zero_shot(
     double_ffn_compat: bool = True,
     quantize: bool = True,
     start_layer: int = 0,
+    image_input: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (predictions, targets, similarities); int16 round-trip applied like
     the reference eval path (`src/evaluation.py:93` + `hook.py:180-184`).
 
     ``start_layer > 0``: batches carry cached frozen-prefix TOKENS (see
     :func:`cache_prefix_tokens` — built from quantized waveforms for this
-    eval path) instead of waveforms; always exact, since eval featurizes
-    without a crop rng."""
+    eval path) instead of waveforms; ``image_input``: cached post-frontend
+    IMAGES (:func:`cache_prefix_images`, the layer-0 cut). Both always
+    exact, since eval featurizes without a crop rng."""
 
     @jax.jit
     def embed(wav):
         if start_layer > 0:
             batch = {"tokens": wav}
+        elif image_input:
+            batch = {"image": wav}
         else:
             if quantize:
                 wav = quantize_roundtrip(wav)
@@ -400,15 +449,16 @@ def train_with_config(
     opt_state = optimizer.init(lam)
     # frozen-prefix cache for the sweep's hot loop (SURVEY §3.3: full HTSAT
     # forward x epochs x folds x grid). This loop steps without a featurize
-    # rng (crops are fixed), so caching is always exact; the layer-0 gate is
-    # the byte-traffic one (see train_residual).
+    # rng (crops are fixed), so caching is always exact. Layers >= 1 cache
+    # tokens below the first injection; layer 0 — the sweep grid's winning
+    # config — caches the post-frontend image (see train_residual).
     start_layer = 0
+    image_input = False
     if min(frozen) >= 1:
         cached = cache_prefix_tokens(
             params, cfg, train_batches(), min(frozen), max_len=max_len
         )
         start_layer = min(frozen)
-        train_batches = lambda: iter(cached)  # noqa: E731
         # eval side too: the per-epoch val embed below min(frozen) is
         # λ-independent and eval is deterministic (quantized featurize, no
         # crop rng) — cache it once, each epoch pays only the suffix
@@ -416,10 +466,18 @@ def train_with_config(
             params, cfg, val_batches(), start_layer, max_len=max_len,
             quantize=True,
         )
-        val_batches = lambda: iter(val_cached)  # noqa: E731
+    else:
+        image_input = True
+        cached = cache_prefix_images(params, cfg, train_batches(), max_len=max_len)
+        val_cached = cache_prefix_images(
+            params, cfg, val_batches(), max_len=max_len, quantize=True
+        )
+    train_batches = lambda: iter(cached)  # noqa: E731
+    val_batches = lambda: iter(val_cached)  # noqa: E731
     step, loss_fn = make_zero_shot_step(params, cfg, text_embeds, frozen, optimizer,
                                         max_len=max_len, start_layer=start_layer,
-                                        tokens_input=start_layer > 0)
+                                        tokens_input=start_layer > 0,
+                                        image_input=image_input)
     history = []
     for e in range(config.get("epochs", 10)):
         tl, tc, tn = 0.0, 0, 0
@@ -431,7 +489,7 @@ def train_with_config(
         preds, targets, _ = evaluate_zero_shot(
             params, cfg, val_batches(), text_embeds,
             residual=_merge_residual(lam, frozen), max_len=max_len,
-            start_layer=start_layer,
+            start_layer=start_layer, image_input=image_input,
         )
         val_acc = float((preds == targets).mean())
         best_val_acc = max(best_val_acc, val_acc)

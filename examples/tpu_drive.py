@@ -153,6 +153,36 @@ def main() -> int:
 
     stage("lambda_grad_probe", s4)
 
+    def s4b():
+        # post-frontend image-cache split (VERDICT r4 item 3: the λ-training
+        # cut that pays at the PUBLISHED best config, inject_layers=[0]):
+        # compiled-path exactness of stop_at_image -> {"image": ...} resume
+        # vs the unsplit forward, with the residual injected — the CPU suite
+        # asserts this bit-exact in interpret mode; this is the real-Mosaic
+        # counterpart (the split crosses a host round-trip and re-enters a
+        # separately compiled program)
+        p = load_residual_params("/root/reference/residual_pca/ESC50/layer_0_evalfold_0")
+        residual = {0: {"basis": jnp.asarray(p["basis"]), "mean": jnp.asarray(p["mean"]),
+                        "lam": jnp.asarray(p["lam"])}}
+        f = feat(wav)
+        full = np.asarray(jax.jit(functools.partial(
+            encode_audio, cfg=cfg, residual=residual, double_ffn_compat=False
+        ))(params, f)["normalized"])
+        img = jax.jit(lambda f_: encode_audio(
+            params, f_, cfg, stop_at_image=True)["image"])(f)
+        img = jnp.asarray(np.asarray(img))  # host round trip, like the cache
+        split = np.asarray(jax.jit(functools.partial(
+            encode_audio, cfg=cfg, residual=residual, double_ffn_compat=False
+        ))(params, {"image": img})["normalized"])
+        d = float(np.abs(full - split).max())
+        out = {"split_max_abs_diff": d, "bound": 1e-6,
+               "image_kb_per_clip": round(img.nbytes / img.shape[0] / 1024, 1),
+               "wav_kb_per_clip": round(wav.nbytes / wav.shape[0] / 1024, 1)}
+        assert d < out["bound"], out
+        return out
+
+    stage("image_cache_split", s4b)
+
     def s5():
         # compiled-kernel parity: fused Swin block (monolithic layer-0 shape
         # AND the layer-3 split plan) vs the XLA twin, on real Mosaic — the

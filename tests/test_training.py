@@ -331,19 +331,42 @@ def test_auto_cache_prefix_layer1_exact_and_active(setup, monkeypatch):
         np.testing.assert_allclose(ha["train_loss"], ho["train_loss"], rtol=1e-5)
 
 
-def test_auto_cache_prefix_stays_off_at_layer0(setup, monkeypatch):
-    """Layer-0 injection must NOT auto-cache: [N, tokens, C] prefix tokens are
-    bigger than the waveforms they replace (more host->device bytes/step
-    than the saved frontend compute)."""
+def test_auto_cache_layer0_uses_image_cache(setup, monkeypatch):
+    """Layer-0 injection (the published best config, PDF Table 1) must
+    auto-cache at the post-frontend IMAGE boundary, not tokens (layer-0
+    tokens are bigger than the waveform; the image is 7.3x smaller at full
+    size — VERDICT r4 item 3), and the cached run must match the uncached
+    one numerically."""
     params, text_embeds, make_batches = setup
     residual = _residual_for_layer0(params)
     monkeypatch.setattr(
         train_residual, "cache_prefix_tokens",
-        lambda *a, **kw: pytest.fail("layer-0 auto run must not cache"),
+        lambda *a, **kw: pytest.fail("layer-0 auto run must not cache tokens"),
     )
-    train_residual.train_residual(
-        params, CFG, make_batches(12), text_embeds, residual, epochs=1, lr=0.05
+    img_calls = []
+    orig = train_residual.cache_prefix_images
+
+    def spy(*a, **kw):
+        img_calls.append(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(train_residual, "cache_prefix_images", spy)
+    kw = dict(epochs=2, lr=0.05)
+    r_auto, h_auto = train_residual.train_residual(
+        params, CFG, make_batches(12), text_embeds, residual, **kw
     )
+    assert len(img_calls) == 1
+    r_off, h_off = train_residual.train_residual(
+        params, CFG, make_batches(12), text_embeds, residual,
+        cache_prefix=False, **kw
+    )
+    assert len(img_calls) == 1  # False never caches
+    np.testing.assert_allclose(
+        np.asarray(r_auto[0]["lam"]), np.asarray(r_off[0]["lam"]),
+        atol=1e-5, rtol=1e-4,
+    )
+    for ha, ho in zip(h_auto, h_off):
+        np.testing.assert_allclose(ha["train_loss"], ho["train_loss"], rtol=1e-5)
 
 
 def test_auto_cache_skips_device_work_on_late_long_clip(setup, monkeypatch):
@@ -364,6 +387,10 @@ def test_auto_cache_skips_device_work_on_late_long_clip(setup, monkeypatch):
 
     monkeypatch.setattr(
         train_residual, "cache_prefix_tokens",
+        lambda *a, **kw: pytest.fail("pre-scan must bail before any prefix compute"),
+    )
+    monkeypatch.setattr(
+        train_residual, "cache_prefix_images",
         lambda *a, **kw: pytest.fail("pre-scan must bail before any prefix compute"),
     )
     _, hist = train_residual.train_residual(
@@ -415,3 +442,56 @@ def test_train_with_config_layer1_cached_matches_uncached_eval(setup):
         residual=out["residual"], max_len=MAX_LEN,
     )
     assert out["history"][-1]["val_acc"] == float((preds == targets).mean())
+
+
+def test_train_with_config_layer0_image_cached_matches_uncached_eval(setup):
+    """Layer 0 is the sweep grid's winning config (PDF Table 1): the runner
+    now image-caches both loop sides there, and the reported val accuracy
+    must still equal a from-scratch full-waveform eval."""
+    params, text_embeds, make_batches = setup
+    rng = np.random.default_rng(6)
+    q, _ = np.linalg.qr(rng.standard_normal((32, 32)))
+    import pickle, tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        os.makedirs(os.path.join(td, "DS"))
+        with open(os.path.join(td, "DS", "layer_0_evalfold_0"), "wb") as f:
+            pickle.dump({"components": q.astype(np.float32),
+                         "mean": rng.standard_normal(32).astype(np.float32) * 0.01,
+                         "n_components": 32, "input_dim": 32}, f)
+        out = train_residual.train_with_config(
+            {"lr": 0.05, "epochs": 2, "inject_layers": (0,), "eval_fold": 0,
+             "max_len": MAX_LEN},
+            params, CFG, "DS", [(make_batches(31), make_batches(32))],
+            text_embeds, td,
+        )
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["history"][-1]["train_loss"])
+    preds, targets, _ = train_residual.evaluate_zero_shot(
+        params, CFG, make_batches(32)(), text_embeds,
+        residual=out["residual"], max_len=MAX_LEN,
+    )
+    assert out["history"][-1]["val_acc"] == float((preds == targets).mean())
+
+
+def test_stop_at_image_split_is_exact(setup):
+    """Splitting the forward at the post-frontend image boundary
+    (``stop_at_image`` -> ``batch={"image": ...}``) reproduces the unsplit
+    embedding bit-for-bit on the golden f32 path."""
+    params, text_embeds, make_batches = setup
+    residual = _residual_for_layer0(params)
+    wav, _ = next(make_batches(41)())
+    wav = jnp.asarray(wav)
+    from audio_residual_tpu.data.featurize import featurize_batch
+
+    batch = featurize_batch(wav, MAX_LEN)
+    full = clap_mod.encode_audio(params, batch, CFG, residual=residual)["normalized"]
+    img = clap_mod.encode_audio(params, batch, CFG, stop_at_image=True)["image"]
+    assert img.ndim == 4 and img.shape[-1] == 1
+    split = clap_mod.encode_audio(
+        params, {"image": img}, CFG, residual=residual
+    )["normalized"]
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
+    # guards: fusion input / image + start_layer are rejected
+    with pytest.raises(ValueError):
+        clap_mod.encode_audio(params, {"image": img}, CFG, start_layer=1)
