@@ -134,12 +134,17 @@ def main(argv=None) -> dict:
     state = init_train_state(params, optimizer)
 
     mesh = data_parallel_mesh()
-    state = replicate(mesh, state)
+    if args.fsdp:
+        from audio_residual_tpu.parallel.fsdp import shard_train_state
+
+        state = shard_train_state(state, mesh)
+    else:
+        state = replicate(mesh, state)
     compute_dtype = jnp.bfloat16 if args.precision in ("amp", "bf16", "fp16") else None
     step_fn = make_train_step(
         cfg, optimizer, mlp_loss=args.clap_mlploss or args.mlp_loss,
         compute_dtype=compute_dtype, freeze_text=args.freeze_text,
-        remat=args.remat,
+        remat=args.remat, fsdp_mesh=mesh if args.fsdp else None,
     )
 
     start_epoch = 0

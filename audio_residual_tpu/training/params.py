@@ -125,6 +125,12 @@ def parse_args(args=None) -> argparse.Namespace:
     # FLOPs for HBM so the per-chip batch can grow. Gradients are exact.
     p.add_argument("--remat", action="store_true", default=False,
                    help="rematerialise tower activations in backward")
+    # TPU-native addition (no reference equivalent): FSDP/ZeRO-3-style state
+    # sharding over the data mesh (parallel/fsdp.py) — params, grads and Adam
+    # moments split across devices, all-gathered just-in-time by GSPMD.
+    # Same math as replicated DP; per-chip state memory / mesh size.
+    p.add_argument("--fsdp", action="store_true", default=False,
+                   help="shard params/grads/optimizer state over the mesh")
 
     # distributed (informational on TPU; the mesh covers all of these)
     p.add_argument("--dist-url", type=str, default="env://")

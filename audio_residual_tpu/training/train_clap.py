@@ -81,6 +81,8 @@ def make_train_step(
     freeze_text: bool = False,
     mixup_alpha: float = 0.0,
     remat: bool = False,
+    fsdp_mesh: Any = None,
+    fsdp_axis: str = "data",
 ) -> Callable:
     """Jitted ``(state, batch, rng) -> (state, metrics)``.
 
@@ -94,6 +96,15 @@ def make_train_step(
     memory-for-FLOPs trade (HBM is the usual per-chip batch-size limiter;
     the reference has no equivalent because torch keeps the graph anyway).
     Gradients are EXACT — same values as ``remat=False``.
+
+    ``fsdp_mesh``: a :class:`jax.sharding.Mesh` enables FSDP/ZeRO-3-style
+    state sharding (see :mod:`audio_residual_tpu.parallel.fsdp`, a scaling
+    extension beyond the reference's replicated DDP): grads, updated params
+    and optimizer state are sharding-constrained to the shape-based FSDP
+    rule, so GSPMD emits just-in-time param all-gathers in the forward and
+    a gradient ``reduce_scatter`` instead of DP's ``psum`` — per-chip state
+    memory drops by the mesh size. Pass state through
+    ``parallel.fsdp.shard_train_state`` first; the math is unchanged.
     """
 
     def apply_towers(params, audio, input_ids, attention_mask, rng):
@@ -117,11 +128,18 @@ def make_train_step(
         )
         return clip_loss(out, mlp_loss=mlp_loss), out
 
+    if fsdp_mesh is not None:
+        from audio_residual_tpu.parallel.fsdp import constrain_tree
+
     @jax.jit
     def step(state, batch, rng):
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], batch, rng
         )
+        if fsdp_mesh is not None:
+            # grads land on the param shards: backward of the just-in-time
+            # param all-gather lowers to reduce_scatter instead of DP's psum
+            grads = constrain_tree(grads, fsdp_mesh, fsdp_axis)
         if freeze_text:
             # `main.py` --freeze-text: zero text-branch grads
             grads = dict(grads)
@@ -139,6 +157,10 @@ def make_train_step(
             ab["bn0"] = {**ab["bn0"], **out["bn0_state"]}
             params["audio_branch"] = ab
         new_state = TrainState(params=params, opt_state=opt_state, step=state["step"] + 1)
+        if fsdp_mesh is not None:
+            # keep the updated state on its shards across steps (the clamp /
+            # bn-merge edits above would otherwise let propagation drift)
+            new_state = constrain_tree(new_state, fsdp_mesh, fsdp_axis)
         metrics = {
             "loss": loss,
             "logit_scale_a": params["logit_scale_a"],

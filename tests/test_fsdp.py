@@ -1,0 +1,165 @@
+"""FSDP/ZeRO-3-style state sharding (`parallel/fsdp.py`) — the scaling
+extension beyond the reference's replicated DDP (`distributed.py:63-139`).
+
+Risks covered: the shape-based rule itself, state actually landing sharded
+(params AND Adam moments), and the invariant that matters — an FSDP step
+computes the SAME numbers as the replicated-DP step, it only places them
+differently.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from audio_residual_tpu.models.clap import CLAPConfig, init_clap_params
+from audio_residual_tpu.models.roberta import RobertaConfig
+from audio_residual_tpu.parallel.fsdp import (
+    fsdp_spec,
+    shard_train_state,
+)
+from audio_residual_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
+from audio_residual_tpu.training.train_clap import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+from .tiny import TINY_AUDIO
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+# text tower sized so its matrices cross the 64 KiB-elements shard floor
+# (tiny.py's 32-wide leaves would all replicate, testing nothing)
+SMALL_TEXT = RobertaConfig(
+    vocab_size=128, hidden_size=128, num_layers=2, num_heads=4,
+    intermediate_size=512, max_position_embeddings=40,
+)
+SMALL_CLAP = CLAPConfig(
+    embed_dim=64, joint_embed_shape=32, audio=TINY_AUDIO, text=SMALL_TEXT,
+)
+
+
+def test_fsdp_spec_rule():
+    n = 8
+    # big 2-D weight: largest divisible dim shards
+    assert fsdp_spec((128, 512), n) == P(None, "data")
+    assert fsdp_spec((512, 128), n) == P("data", None)
+    # ties to the largest dim even when both divide
+    assert fsdp_spec((256, 1024), n) == P(None, "data")
+    # vectors / scalars / small tensors replicate
+    assert fsdp_spec((768,), n) == P()
+    assert fsdp_spec((), n) == P()
+    assert fsdp_spec((32, 96), n) == P()  # 3072 elems < floor
+    # no dim divisible -> replicate (the rule never pads)
+    assert fsdp_spec((101, 333), n) == P()
+    # indivisible large dim skipped in favor of a smaller divisible one
+    assert fsdp_spec((50265, 768), n) == P(None, "data")
+
+
+def _batch(mesh, b=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return shard_batch(
+        mesh,
+        {
+            "waveform": (rng.standard_normal((b, 24000)) * 0.1).astype(np.float32),
+            "input_ids": rng.integers(2, 100, (b, 12)),
+            "attention_mask": np.ones((b, 12), np.int32),
+        },
+    )
+
+
+def test_fsdp_state_actually_sharded():
+    mesh = data_parallel_mesh(8)
+    optimizer = make_optimizer(lr=1e-4, warmup=5, total_steps=50)
+    params = init_clap_params(jax.random.PRNGKey(0), SMALL_CLAP)
+    state = shard_train_state(init_train_state(params, optimizer), mesh)
+
+    # a large text weight is physically split 8 ways...
+    emb = state["params"]["text_branch"]["embeddings"]["word"]
+    assert not emb.sharding.is_fully_replicated
+    local = emb.addressable_shards[0].data.shape
+    assert np.prod(local) == emb.size // 8
+    # ...and its Adam moments sit on the same shards (shape-based rule)
+    mu = state["opt_state"][0].mu["text_branch"]["embeddings"]["word"]
+    assert mu.sharding == emb.sharding
+    # small leaves replicate
+    assert state["params"]["logit_scale_a"].sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_fsdp_step_matches_replicated():
+    """Two FSDP steps == two replicated-DP steps (same losses, same final
+    params) and the updated state STAYS sharded — placement, not math."""
+    mesh = data_parallel_mesh(8)
+    optimizer = make_optimizer(lr=1e-3, warmup=5, total_steps=50)
+    params = init_clap_params(jax.random.PRNGKey(0), SMALL_CLAP)
+
+    state_r = replicate(mesh, init_train_state(params, optimizer))
+    state_f = shard_train_state(init_train_state(params, optimizer), mesh)
+    step_r = make_train_step(SMALL_CLAP, optimizer, mlp_loss=True)
+    step_f = make_train_step(SMALL_CLAP, optimizer, mlp_loss=True, fsdp_mesh=mesh)
+
+    with mesh:
+        for i in range(2):
+            batch = _batch(mesh, seed=i)
+            state_r, m_r = step_r(state_r, batch, jax.random.PRNGKey(i))
+            state_f, m_f = step_f(state_f, batch, jax.random.PRNGKey(i))
+            np.testing.assert_allclose(
+                float(m_f["loss"]), float(m_r["loss"]), rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(
+                float(m_f["grad_norm"]), float(m_r["grad_norm"]), rtol=1e-4)
+
+    emb_f = state_f["params"]["text_branch"]["embeddings"]["word"]
+    assert not emb_f.sharding.is_fully_replicated  # survived the update
+    emb_r = state_r["params"]["text_branch"]["embeddings"]["word"]
+    np.testing.assert_allclose(
+        np.asarray(emb_f), np.asarray(emb_r), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_cli_toy_fsdp(tmp_path, monkeypatch):
+    """`training/main.py` end-to-end: toy dataset, one epoch, `--fsdp` —
+    the CLI wiring of the sharded path (state stays sharded through the
+    epoch loop, params.txt records the flag)."""
+    import json
+
+    from audio_residual_tpu.models import factory
+    from audio_residual_tpu.models.htsat import HTSAT_VARIANTS
+    from audio_residual_tpu.training import main as train_main
+
+    cfg = factory.get_model_config("HTSAT-tiny")
+    cfg["embed_dim"] = 64
+    cfg["audio_cfg"].update({"clip_samples": 24000, "mel_bins": 16,
+                             "class_num": 17, "model_name": "tiny-demo"})
+    # CLIP-transformer text tower small enough for the 1-core CPU suite but
+    # with a shardable embedding ([512, 64] = 32k elems over the floor)
+    cfg["text_cfg"] = {"context_length": 77, "heads": 4, "layers": 2,
+                       "vocab_size": 512, "width": 64}
+    p = tmp_path / "HTSAT-tiny-demo.json"
+    p.write_text(json.dumps(cfg))
+    factory.add_model_config(str(p))
+    HTSAT_VARIANTS["tiny-demo"] = dict(embed_dim=32, depths=(1, 1),
+                                       num_heads=(2, 4), spec_size=64)
+    monkeypatch.setenv("TRANSFORMERS_OFFLINE", "1")
+    try:
+        out = train_main.main([
+            "--amodel", "HTSAT-tiny-demo", "--tmodel", "transformer",
+            "--dataset-type", "toy",
+            "--train-data", str(tmp_path / "toy.h5"),
+            "--logs", str(tmp_path / "logs"), "--name", "fsdp-smoke",
+            "--batch-size", "8", "--epochs", "1",
+            "--save-frequency", "10", "--fsdp",
+        ])
+    finally:
+        HTSAT_VARIANTS.pop("tiny-demo")
+        factory._CONFIG_DIRS.pop()
+        factory._rescan()
+    assert out["steps"] == 8  # 64 toy samples / batch 8
+    leaves = jax.tree.leaves(out["state"]["params"])
+    assert any(not leaf.sharding.is_fully_replicated for leaf in leaves)
+    ptxt = (tmp_path / "logs" / "fsdp-smoke" / "params.txt").read_text()
+    assert "fsdp: True" in ptxt
