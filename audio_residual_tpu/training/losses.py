@@ -18,13 +18,13 @@ All pure functions of arrays; distribution enters only through ``axis_name``.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["gather_features", "clip_loss", "lp_loss", "lp_metrics"]
+__all__ = [
+    "gather_features", "clip_loss", "contrastive_weights", "lp_loss", "lp_metrics",
+]
 
 
 def gather_features(
@@ -64,14 +64,32 @@ def _ce_rows(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
 
 
+def contrastive_weights(features: jnp.ndarray, kappa: float) -> jnp.ndarray:
+    """Per-sample weights of the weighted contrastive loss
+    (`loss.py:166-170,213-216`): ``exp(rowsum(F @ F.T) / (kappa * N))``,
+    detached. Rows similar to many others get up-weighted as loss targets."""
+    sims = features @ features.T
+    w = jnp.exp(jnp.sum(sims, axis=1) / (kappa * features.shape[0]))
+    return jax.lax.stop_gradient(w)
+
+
+def _weighted_ce(logits: jnp.ndarray, labels: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """torch ``F.cross_entropy(..., weight=w)`` semantics: ``w`` is a
+    per-CLASS vector; with contrastive ``labels = arange(N)`` class i IS
+    sample i, so this is the w-weighted mean of per-row CE — including
+    torch's normalisation by ``sum(w[labels])``, not by N."""
+    ce = _ce_rows(logits, labels)
+    wl = w[labels]
+    return jnp.sum(wl * ce) / jnp.sum(wl)
+
+
 def clip_loss(
     outputs: dict,
     *,
     axis_name: str | None = None,
     local_loss: bool = False,
     mlp_loss: bool = False,
-    weighted_loss: bool = False,
-    weights: Any = None,
+    weight_loss_kappa: float = 0.0,
 ) -> jnp.ndarray:
     """Symmetric InfoNCE over the (global) batch (`loss.py:131-221`).
 
@@ -79,6 +97,17 @@ def clip_loss(
     :func:`audio_residual_tpu.models.clap.clap_apply`. Labels are
     ``arange(global_batch)`` — or rank-offset local labels when
     ``local_loss=True`` (`loss.py:151-152`).
+
+    ``weight_loss_kappa != 0`` enables the weighted contrastive loss
+    (``--kappa``, `loss.py:104-115`): per-sample weights from
+    :func:`contrastive_weights`, applied with torch class-weight CE
+    semantics. Term assignment follows the reference exactly — the 2-term
+    loss CROSSES them (audio logits weighted by TEXT weights,
+    `loss.py:218-220`) and computes weights on the gathered features, while
+    the 4-term loss pairs same-modality (`loss.py:171-176`) and computes
+    weights on the LOCAL features — which under multi-rank training is a
+    reference crash (length-N_local weight vector vs N_global classes at
+    `loss.py:166`), so that combination raises here.
     """
     a = outputs["audio_features"]
     t = outputs["text_features"]
@@ -91,32 +120,48 @@ def clip_loss(
         )
         sa, st = outputs["logit_scale_a"], outputs["logit_scale_t"]
         if local_loss and axis_name is not None:
-            # local x global logits with rank-offset labels (`loss.py:159-174`):
-            #   a_logits  = scale_a * audio    @ text_mlp.T
-            #   a_logits' = scale_a * audio_mlp@ text.T
-            #   t_logits  = scale_t * text     @ audio_mlp.T
-            #   t_logits' = scale_t * text_mlp @ audio.T
-            a_logits = sa * a @ all_tm.T
-            a_logits_r = sa * am @ all_t.T
-            t_logits = st * t @ all_am.T
-            t_logits_r = st * tm @ all_a.T
+            # local x global logits with rank-offset labels (`loss.py:131-137`):
+            # scale_a pairs with the *_mlp-on-text products, scale_t with the
+            # *_mlp-on-audio ones — NOT symmetric per tower, match exactly
+            a_logits = sa * a @ all_tm.T       # a_logits_per_audio
+            a_logits_r = sa * tm @ all_a.T     # a_logits_per_text
+            t_logits = st * am @ all_t.T       # t_logits_per_audio
+            t_logits_r = st * t @ all_am.T     # t_logits_per_text
             rank = jax.lax.axis_index(axis_name)
             labels = jnp.arange(n_local) + rank * n_local
         else:
-            a_logits = sa * all_a @ all_tm.T
-            a_logits_r = sa * all_am @ all_t.T
-            t_logits = st * all_t @ all_am.T
-            t_logits_r = st * all_tm @ all_a.T
+            # `loss.py:138-146`: the transposed terms keep the SAME scale as
+            # their partner (a_logits_per_text = a_logits_per_audio.T) — a
+            # scale swap here is invisible while sa == st (both init to
+            # ln(1/0.07)) but diverges as the scales train apart
+            a_logits = sa * all_a @ all_tm.T   # a_logits_per_audio
+            a_logits_r = a_logits.T            # a_logits_per_text
+            t_logits = st * all_am @ all_t.T   # t_logits_per_audio
+            t_logits_r = t_logits.T            # t_logits_per_text
             labels = jnp.arange(a_logits.shape[0])
-        losses = (
-            _ce_rows(a_logits, labels)
-            + _ce_rows(a_logits_r, labels)
-            + _ce_rows(t_logits, labels)
-            + _ce_rows(t_logits_r, labels)
-        ) / 4.0
-        if weighted_loss and weights is not None:
-            losses = losses * weights
-        loss = jnp.mean(losses)
+        if weight_loss_kappa:
+            if axis_name is not None:
+                raise NotImplementedError(
+                    "weighted 4-term loss under data sharding: the reference "
+                    "computes weights on LOCAL features (loss.py:166-170), "
+                    "which crashes multi-rank torch (N_local weights vs "
+                    "N_global classes) — no semantics to match"
+                )
+            aw = contrastive_weights(a, weight_loss_kappa)
+            tw = contrastive_weights(t, weight_loss_kappa)
+            loss = (
+                _weighted_ce(a_logits, labels, aw)
+                + _weighted_ce(a_logits_r, labels, aw)
+                + _weighted_ce(t_logits, labels, tw)
+                + _weighted_ce(t_logits_r, labels, tw)
+            ) / 4.0
+        else:
+            loss = (
+                jnp.mean(_ce_rows(a_logits, labels))
+                + jnp.mean(_ce_rows(a_logits_r, labels))
+                + jnp.mean(_ce_rows(t_logits, labels))
+                + jnp.mean(_ce_rows(t_logits_r, labels))
+            ) / 4.0
     else:
         all_a, all_t = gather_features(a, t, axis_name=axis_name, local_loss=local_loss)
         scale = outputs["logit_scale_a"]
@@ -129,7 +174,18 @@ def clip_loss(
             logits_a = scale * all_a @ all_t.T
             logits_t = logits_a.T
             labels = jnp.arange(logits_a.shape[0])
-        loss = 0.5 * (jnp.mean(_ce_rows(logits_a, labels)) + jnp.mean(_ce_rows(logits_t, labels)))
+        if weight_loss_kappa:
+            # weights on the GATHERED features, cross-assigned: audio logits
+            # weighted by text weights and vice versa (`loss.py:213-220`)
+            aw = contrastive_weights(all_a, weight_loss_kappa)
+            tw = contrastive_weights(all_t, weight_loss_kappa)
+            loss = 0.5 * (
+                _weighted_ce(logits_a, labels, tw) + _weighted_ce(logits_t, labels, aw)
+            )
+        else:
+            loss = 0.5 * (
+                jnp.mean(_ce_rows(logits_a, labels)) + jnp.mean(_ce_rows(logits_t, labels))
+            )
 
     if axis_name is not None:
         # every shard computed the same global loss (or its local share);

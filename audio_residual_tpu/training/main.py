@@ -145,6 +145,7 @@ def main(argv=None) -> dict:
         cfg, optimizer, mlp_loss=args.clap_mlploss or args.mlp_loss,
         compute_dtype=compute_dtype, freeze_text=args.freeze_text,
         remat=args.remat, fsdp_mesh=mesh if args.fsdp else None,
+        weight_loss_kappa=args.kappa,
     )
 
     start_epoch = 0

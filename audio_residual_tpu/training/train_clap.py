@@ -83,6 +83,7 @@ def make_train_step(
     remat: bool = False,
     fsdp_mesh: Any = None,
     fsdp_axis: str = "data",
+    weight_loss_kappa: float = 0.0,
 ) -> Callable:
     """Jitted ``(state, batch, rng) -> (state, metrics)``.
 
@@ -126,7 +127,9 @@ def make_train_step(
         out = apply_towers(
             params, audio, batch["input_ids"], batch.get("attention_mask"), rng
         )
-        return clip_loss(out, mlp_loss=mlp_loss), out
+        return clip_loss(
+            out, mlp_loss=mlp_loss, weight_loss_kappa=weight_loss_kappa
+        ), out
 
     if fsdp_mesh is not None:
         from audio_residual_tpu.parallel.fsdp import constrain_tree
