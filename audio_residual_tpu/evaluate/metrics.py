@@ -10,7 +10,10 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["classification_metrics", "topk_accuracy", "confusion_matrix", "retrieval_metrics"]
+__all__ = [
+    "classification_metrics", "topk_accuracy", "confusion_matrix",
+    "retrieval_metrics", "clap_val_metrics",
+]
 
 
 def topk_accuracy(similarities: np.ndarray, targets: np.ndarray, k: int = 5) -> float:
@@ -70,6 +73,53 @@ def retrieval_metrics(
     out = {"num_samples": audio_features.shape[0]}
     for name, logits in (("audio_to_text", logits_at), ("text_to_audio", logits_at.T)):
         ranks = _ranks(logits)
+        out[f"{name}_mean_rank"] = float(ranks.mean() + 1)
+        out[f"{name}_median_rank"] = float(np.floor(np.median(ranks)) + 1)
+        for k in (1, 5, 10):
+            out[f"{name}_R@{k}"] = float((ranks < k).mean())
+        out[f"{name}_mAP@10"] = float(np.mean(np.where(ranks < 10, 1.0 / (ranks + 1), 0.0)))
+    return out
+
+
+def clap_val_metrics(
+    audio_features: np.ndarray,
+    text_features: np.ndarray,
+    logit_scale_a: float,
+    audio_features_mlp: np.ndarray | None = None,
+    text_features_mlp: np.ndarray | None = None,
+    logit_scale_t: float | None = None,
+    mlp_loss: bool = False,
+) -> dict:
+    """``get_metrics`` (`train.py:504-574`) for the in-training validation
+    pass: cumulative CE loss over the FULL val similarity matrix (2-term, or
+    4-term under ``mlp_loss``) + both-direction ranking metrics. Under
+    ``mlp_loss`` the rankings use the two logit matrices AVERAGED
+    (`train.py:537-540`)."""
+
+    def _ce(logits):
+        logits = logits - logits.max(axis=-1, keepdims=True)
+        logp = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+        return float(-np.mean(np.diag(logp)))
+
+    n = audio_features.shape[0]
+    out = {"num_samples": n}
+    if mlp_loss:
+        a_l_audio = logit_scale_a * audio_features @ text_features_mlp.T
+        t_l_audio = logit_scale_t * audio_features_mlp @ text_features.T
+        out["cumulative_loss"] = (
+            _ce(a_l_audio) + _ce(a_l_audio.T) + _ce(t_l_audio) + _ce(t_l_audio.T)
+        ) / 4.0
+        logits = {
+            "audio_to_text": (a_l_audio + t_l_audio) / 2.0,
+            "text_to_audio": (a_l_audio.T + t_l_audio.T) / 2.0,
+        }
+    else:
+        l_audio = logit_scale_a * audio_features @ text_features.T
+        out["cumulative_loss"] = (_ce(l_audio) + _ce(l_audio.T)) / 2.0
+        logits = {"audio_to_text": l_audio, "text_to_audio": l_audio.T}
+
+    for name, logit in logits.items():
+        ranks = _ranks(logit)
         out[f"{name}_mean_rank"] = float(ranks.mean() + 1)
         out[f"{name}_median_rank"] = float(np.floor(np.median(ranks)) + 1)
         for k in (1, 5, 10):

@@ -31,6 +31,7 @@ __all__ = [
     "load_torch_checkpoint",
     "convert_clap_state_dict",
     "convert_htsat_state_dict",
+    "convert_pann_state_dict",
     "convert_roberta_state_dict",
     "convert_bart_state_dict",
     "htsat_params_to_state_dict",
@@ -132,6 +133,37 @@ def convert_htsat_state_dict(
             }
         layers.append(layer)
     p["layers"] = layers
+    return p
+
+
+def convert_pann_state_dict(sd: Mapping[str, np.ndarray], prefix: str = "audio_branch.") -> dict:
+    """PANN subtree of a reference checkpoint -> our params pytree
+    (see models/pann.py; the ``--pretrained-audio`` key remaps live in
+    `factory.py:166-187`). Conv kernels OIHW -> HWIO, linear weights
+    transposed; the DSP extractors (spectrogram/logmel) have no params here
+    — the frontend is a kernel, not a module."""
+
+    def g(k):
+        return np.asarray(sd[prefix + k])
+
+    def bn(src):
+        return {
+            "scale": g(src + ".weight"), "bias": g(src + ".bias"),
+            "mean": g(src + ".running_mean"), "var": g(src + ".running_var"),
+        }
+
+    p: dict = {"bn0": bn("bn0"), "conv_blocks": []}
+    i = 1
+    while f"{prefix}conv_block{i}.conv1.weight" in sd:
+        base = f"conv_block{i}"
+        blk = {"conv1": {"kernel": _conv(g(base + ".conv1.weight"))}, "bn1": bn(base + ".bn1")}
+        if f"{prefix}{base}.conv2.weight" in sd:
+            blk["conv2"] = {"kernel": _conv(g(base + ".conv2.weight"))}
+            blk["bn2"] = bn(base + ".bn2")
+        p["conv_blocks"].append(blk)
+        i += 1
+    for name in ("fc1", "fc_audioset"):
+        p[name] = {"kernel": _t(g(name + ".weight")), "bias": g(name + ".bias")}
     return p
 
 

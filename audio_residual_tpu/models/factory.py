@@ -34,7 +34,8 @@ from audio_residual_tpu.models.htsat import HTSAT_VARIANTS, HTSATConfig
 from audio_residual_tpu.models.pann import PANNConfig
 from audio_residual_tpu.models.roberta import RobertaConfig
 
-__all__ = ["list_models", "get_model_config", "add_model_config", "create_model", "load_checkpoint_params"]
+__all__ = ["list_models", "get_model_config", "add_model_config", "create_model",
+           "load_checkpoint_params", "load_audio_tower_params"]
 
 _CONFIG_DIRS = [Path(__file__).resolve().parents[2] / "configs" / "model_configs"]
 _MODEL_CONFIGS: dict[str, dict] = {}
@@ -152,6 +153,8 @@ def create_model(
     enable_fusion: bool = False,
     fusion_type: str = "None",
     seed: int = 0,
+    pretrained_audio: str = "",
+    pretrained_text: str = "",
 ):
     """Build (params, cfg, model_cfg_dict) for a registered model name
     (`factory.py:73-227`). ``pretrained`` may be a torch checkpoint path —
@@ -161,6 +164,12 @@ def create_model(
     (`model.py:494-527`): "roberta" (the published audio checkpoints' tower),
     "bert" (bert-base-uncased layout), "transformer" (the CLIP BPE tower from
     the model config's ``text_cfg``), or "bart" (bart-base encoder).
+
+    ``pretrained_audio``: tower-only torch checkpoint, loaded over the fresh
+    (or ``pretrained``) params via :func:`load_audio_tower_params`.
+    ``pretrained_text`` is accepted like the reference, whose factory takes
+    it and never consumes it (`factory.py:84` signature-only) — a warning
+    says so rather than silently parsing.
     """
     amodel_name = amodel_name.replace("/", "-")
     model_cfg = get_model_config(amodel_name)
@@ -183,6 +192,20 @@ def create_model(
         params = load_checkpoint_params(pretrained, cfg)
     else:
         params = clap_mod.init_clap_params(jax.random.PRNGKey(seed), cfg)
+    if pretrained_audio:
+        params = dict(params)
+        params["audio_branch"] = load_audio_tower_params(
+            pretrained_audio, amodel_name, cfg
+        )
+    if pretrained_text:
+        import logging
+
+        logging.warning(
+            "--pretrained-text is accepted for script compatibility; the "
+            "reference's factory takes it and never consumes it "
+            "(factory.py:84, signature-only). Load full checkpoints via "
+            "--pretrained instead."
+        )
     return params, cfg, model_cfg
 
 
@@ -221,6 +244,46 @@ def _create_clip_model(model_cfg: dict, tmodel_name: str, *, seed: int = 0):
     cfg = clip_assembly.CLIPConfig(embed_dim=model_cfg["embed_dim"], vision=vision, text=text)
     params = clip_assembly.init_clip_params(jax.random.PRNGKey(seed), cfg)
     return params, cfg, model_cfg
+
+
+def load_audio_tower_params(path: str, amodel_name: str, cfg: clap_mod.CLAPConfig) -> dict:
+    """``--pretrained-audio``: audio-tower-only torch checkpoints
+    (`factory.py:166-217`), filename-dispatched like the reference:
+
+    * PANN official (``Cnn14_mAP`` in the path): weights under ``model``;
+    * HTSAT-codebase ckpts (basename ``PANN*``/``HTSAT*``, or official
+      ``HTSAT_AudioSet_Saved``): weights under ``state_dict`` with a
+      ``sed_model.`` prefix;
+    * ``finetuned*``: full-model dump, already ``audio_branch.``-prefixed;
+    * anything else raises like `factory.py:187`.
+
+    The DSP extractor keys the reference skips have no equivalents here
+    (the frontend is a kernel); converters simply never read them.
+    """
+    base = Path(path).name
+    if amodel_name.startswith("PANN"):
+        if "Cnn14_mAP" in path:
+            import torch
+
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)["model"]
+            sd = {
+                "audio_branch." + k: v.detach().cpu().numpy()
+                for k, v in ckpt.items()
+            }
+        elif base.startswith(("PANN", "finetuned")):
+            sd = convert_mod.load_torch_checkpoint(path)
+            sd = {k.replace("sed_model.", "audio_branch."): v for k, v in sd.items()}
+        else:
+            raise ValueError("Unknown audio checkpoint")
+        return convert_mod.convert_pann_state_dict(sd)
+    if amodel_name.startswith("HTSAT"):
+        if "HTSAT_AudioSet_Saved" in path or base.startswith(("HTSAT", "finetuned")):
+            sd = convert_mod.load_torch_checkpoint(path)
+            sd = {k.replace("sed_model.", "audio_branch."): v for k, v in sd.items()}
+        else:
+            raise ValueError("Unknown audio checkpoint")
+        return convert_mod.convert_htsat_state_dict(sd, "audio_branch.", cfg.audio.depths)
+    raise ValueError("this audio encoder pretrained checkpoint is not support")
 
 
 def load_checkpoint_params(path: str, cfg: clap_mod.CLAPConfig) -> dict:

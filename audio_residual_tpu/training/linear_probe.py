@@ -47,10 +47,34 @@ def init_linear_head(key: jax.Array, in_dim: int = 512, n_classes: int = 50, mlp
     }
 
 
-def head_apply(head: dict, x: jnp.ndarray) -> jnp.ndarray:
+def head_apply(head: dict, x: jnp.ndarray, act: str = "None") -> jnp.ndarray:
+    """Probe head forward; ``act`` is the ``--lp-act`` output activation
+    applied before the loss (`clap_module/linear_probe.py:32-43,60-63`).
+
+    ``prelu`` raises: the reference builds ``nn.PReLU(num_parameters=in_ch)``
+    (512 weights) but applies it to the ``out_ch``-sized head output — a
+    shape crash for any class count != 512, so there is no working semantics
+    to match."""
     if "hidden" in head:
         x = jax.nn.relu(x @ head["hidden"]["kernel"] + head["hidden"]["bias"])
-    return x @ head["out"]["kernel"] + head["out"]["bias"]
+    x = x @ head["out"]["kernel"] + head["out"]["bias"]
+    if act in (None, "None"):
+        return x
+    if act == "relu":
+        return jax.nn.relu(x)
+    if act == "elu":
+        return jax.nn.elu(x)
+    if act == "softmax":
+        return jax.nn.softmax(x, axis=-1)
+    if act == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if act == "prelu":
+        raise NotImplementedError(
+            "--lp-act prelu: the reference's PReLU(num_parameters=in_ch) "
+            "cannot be applied to the [B, n_classes] head output "
+            "(clap_module/linear_probe.py:38-39 shape bug)"
+        )
+    raise ValueError(f"unknown --lp-act {act!r}")
 
 
 def embed_dataset(
@@ -89,6 +113,7 @@ def train_linear_head(
     mlp: bool = False,
     loss_kind: str = "ce",
     mixup_alpha: float = 0.0,
+    act: str = "None",
 ) -> tuple[dict, list[dict]]:
     """AdamW on the head only (`src/linear.py:68-74`).
 
@@ -118,7 +143,7 @@ def train_linear_head(
     @jax.jit
     def step(head, opt_state, x, y):
         def f(h):
-            return lp_loss(head_apply(h, x), y, loss_kind)
+            return lp_loss(head_apply(h, x, act), y, loss_kind)
 
         loss, grads = jax.value_and_grad(f)(head)
         updates, opt_state = optimizer.update(grads, opt_state, head)
@@ -147,9 +172,10 @@ def train_linear_head(
     return head, history
 
 
-def eval_linear_head(head: dict, feats: np.ndarray, labels: np.ndarray):
+def eval_linear_head(head: dict, feats: np.ndarray, labels: np.ndarray,
+                     act: str = "None"):
     """-> (predictions, targets, softmax similarities) (`src/linear.py:97-124`)."""
-    logits = head_apply(head, jnp.asarray(feats))
+    logits = head_apply(head, jnp.asarray(feats), act)
     sims = np.asarray(jax.nn.softmax(logits, axis=-1))
     return sims.argmax(-1), labels, sims
 

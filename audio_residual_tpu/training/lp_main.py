@@ -48,6 +48,15 @@ def main(argv=None) -> dict:
     n_classes = len(DATASETS[ds_name]["class_labels"]) if ds_name in DATASETS else 527
     folds = get_fold_loaders(ds_name, args.datasetpath or ".", args.batch_size)
 
+    if not args.lp_freeze:
+        # the reference default fine-tunes the ENCODER with the probe
+        # (`lp_main.py:158-175`); this module's embed-once design is
+        # frozen-only — say so instead of silently freezing
+        logging.warning(
+            "--lp-freeze not set: joint encoder fine-tuning is not "
+            "implemented (the probe trains on embed-once cached features, "
+            "i.e. the lp_freeze=True regime); proceeding frozen"
+        )
     wanted = tuple(m.strip() for m in args.lp_metrics.split(","))
     results = []
     for i, (train_batches, val_batches) in enumerate(folds):
@@ -56,11 +65,11 @@ def main(argv=None) -> dict:
         head, history = train_linear_head(
             jax.random.PRNGKey(args.seed + i), tr_x, tr_y, n_classes,
             epochs=args.epochs, lr=args.lp_lr, mlp=args.lp_mlp,
-            loss_kind=args.lp_loss,
+            loss_kind=args.lp_loss, act=args.lp_act,
             # reference lp_train.py:87 hard-codes alpha 0.5 under --mixup
             mixup_alpha=0.5 if args.mixup else 0.0,
         )
-        preds, targets, sims = eval_linear_head(head, va_x, va_y)
+        preds, targets, sims = eval_linear_head(head, va_x, va_y, act=args.lp_act)
         m = lp_metrics(sims, targets, metrics=wanted)
         m["fold"] = i
         results.append(m)

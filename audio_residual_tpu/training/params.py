@@ -37,12 +37,20 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--val-num-samples", type=int, default=None)
     p.add_argument("--dataset-type", choices=["webdataset", "csv", "auto", "toy"], default="auto")
     p.add_argument("--datasetnames", nargs="+", default=None)
-    p.add_argument("--datasetinfos", nargs="+", default=None)
+    p.add_argument("--datasetinfos", nargs="+", default=None,
+                   help="train split names (default train/unbalanced_train/balanced_train)")
+    p.add_argument("--full-train-dataset", nargs="+", default=None,
+                   help="datasets trained on ALL their splits (dataset_split table)")
+    p.add_argument("--exclude-eval-dataset", nargs="+", default=None,
+                   help="datasets excluded from the in-training val split")
     p.add_argument("--dataset-proportion", type=float, default=1.0)
     p.add_argument("--datasetpath", type=str, default=None)
-    p.add_argument("--remotedata", action="store_true", default=False)
-    p.add_argument("--class-label-path", type=str, default=None)
-    p.add_argument("--workers", type=int, default=1)
+    p.add_argument("--remotedata", action="store_true", default=False,
+                   help="accepted for compat; this build reads local shards only")
+    p.add_argument("--class-label-path", type=str, default=None,
+                   help="class-index pickle/json -> args.class_index_dict (data.py:853)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="accepted for compat; the sharded pipeline is synchronous per host")
 
     # model
     p.add_argument("--amodel", type=str, default="HTSAT-tiny")
@@ -76,6 +84,7 @@ def parse_args(args=None) -> argparse.Namespace:
         p.add_argument(f"--beta2-{pg}", type=float, default=None)
         p.add_argument(f"--eps-{pg}", type=float, default=None)
         p.add_argument(f"--wd-{pg}", type=float, default=0.2)
+        p.add_argument(f"--momentum-{pg}", type=float, default=0.9)
 
     # loss
     p.add_argument("--mlp-loss", action="store_true", default=False, help="4-term loss")
@@ -105,6 +114,8 @@ def parse_args(args=None) -> argparse.Namespace:
 
     # eval
     p.add_argument("--val-frequency", type=int, default=1)
+    # parsed like the reference, which itself never consumes it: the
+    # zero_shot_eval call is commented out in evaluate (train.py:274-276)
     p.add_argument("--zeroshot-frequency", type=int, default=2)
     p.add_argument("--parallel-eval", action="store_true", default=False,
                    help="subsumed by GSPMD: eval batches are sharded over "
@@ -183,6 +194,19 @@ def parse_args(args=None) -> argparse.Namespace:
         )
     if ns.ddp_static_graph:
         logging.warning("--ddp-static-graph has no effect: every jit graph is static")
+    if ns.local_loss:
+        logging.warning(
+            "--local-loss: the jitted train step uses the global-batch "
+            "formulation, which is numerically identical (losses.py "
+            "clip_loss); the shard_map local-loss variant with rank-offset "
+            "labels exists for explicit use and is tested equal "
+            "(tests/test_distributed.py)"
+        )
+    if ns.remotedata:
+        logging.warning(
+            "--remotedata: this build reads local shards only (no S3 "
+            "fetch); point --datasetpath at the local mirror"
+        )
 
     # model-dependent defaults backfill (`params.py:561-566`)
     defaults = get_default_params(ns.amodel)

@@ -53,18 +53,31 @@ def make_optimizer(
     weight_decay: float = 0.0,
     warmup: int = 3200,
     total_steps: int = 100000,
+    name: str = "adamw",
+    momentum: float = 0.9,
 ) -> optax.GradientTransformation:
-    """AdamW with cosine-warmup schedule and the reference's decay mask.
+    """``--optimizer`` mux (`clap_module/utils.py:374-389`) with
+    cosine-warmup schedule and the reference's decay mask.
 
-    Defaults mirror ``get_default_params`` for HTSAT (`params.py:4-10`:
-    lr 1e-4, beta1 .99, beta2 .9, eps 1e-8 ... wait, reference uses
-    (0.98, 0.9) ordering quirks per model; these are config, override freely).
+    adamw: decoupled decay on ndim>=2 params (AdamW default). adam: the
+    reference FORCES wd to 0 when adam is selected (`main.py:312-314`), so
+    adam == the same chain with no decay term. sgd: torch ``optim.SGD(lr,
+    momentum)`` — heavy-ball momentum buffer, no decay, no eps/betas.
+    AdamW beta defaults mirror ``get_default_params`` for HTSAT
+    (`params.py:4-10`); these are config, override freely.
     """
     sched = cosine_lr(lr, warmup, total_steps)
+    scale = optax.scale_by_schedule(lambda s: -sched(s))
+    if name == "sgd":
+        return optax.chain(optax.trace(decay=momentum), scale)
+    if name == "adam":
+        weight_decay = 0.0  # `main.py:312-314`
+    elif name != "adamw":
+        raise ValueError("optimizer name is not correct")  # `utils.py:388`
     return optax.chain(
         optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps),
         optax.add_decayed_weights(weight_decay, mask=decay_mask),
-        optax.scale_by_schedule(lambda s: -sched(s)),
+        scale,
     )
 
 
@@ -185,6 +198,13 @@ def make_split_optimizer(
     is_pretrained=None,
     betas=(0.9, 0.999),
     eps: float = 1e-8,
+    betas_pretrained=None,
+    betas_new=None,
+    eps_pretrained: float | None = None,
+    eps_new: float | None = None,
+    name: str = "adamw",
+    momentum_pretrained: float = 0.9,
+    momentum_new: float = 0.9,
 ) -> optax.GradientTransformation:
     """Separate optimizer groups for pretrained vs newly-initialised params —
     the ``--split-opt`` regime (`main.py:323-404`).
@@ -192,7 +212,10 @@ def make_split_optimizer(
     ``is_pretrained(path_tuple) -> bool`` labels each leaf; the default marks
     the encoder towers (loaded from a checkpoint) as pretrained and the
     projections/transforms/logit scales as new, matching
-    ``is_pretrained_params`` (`main.py:109`).
+    ``is_pretrained_params`` (`main.py:109`). Per-group betas/eps/momentum
+    default to the shared values (the reference's None-fallback,
+    `main.py:323-326`); ``name`` muxes adamw/sgd/adam like
+    :func:`make_optimizer`.
     """
     if is_pretrained is None:
         def is_pretrained(path):
@@ -209,18 +232,21 @@ def make_split_optimizer(
 
         return walk(params, ())
 
-    def group(lr, wd):
-        sched = cosine_lr(lr, warmup, total_steps)
-        return optax.chain(
-            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
-            optax.add_decayed_weights(wd, mask=decay_mask),
-            optax.scale_by_schedule(lambda s: -sched(s)),
+    def group(lr, wd, bg, eg, mom):
+        bg = bg or betas
+        return make_optimizer(
+            lr, beta1=bg[0], beta2=bg[1], eps=eg if eg is not None else eps,
+            weight_decay=wd, warmup=warmup, total_steps=total_steps,
+            name=name, momentum=mom,
         )
 
     return optax.multi_transform(
         {
-            "pretrained": group(lr_pretrained, weight_decay_pretrained),
-            "new": group(lr_new, weight_decay_new),
+            "pretrained": group(lr_pretrained, weight_decay_pretrained,
+                                betas_pretrained, eps_pretrained,
+                                momentum_pretrained),
+            "new": group(lr_new, weight_decay_new, betas_new, eps_new,
+                         momentum_new),
         },
         label_tree,
     )

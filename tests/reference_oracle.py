@@ -491,6 +491,27 @@ def load_jax_params_into_reference_pann(model: nn.Module, params: dict) -> None:
     assert not unexpected, f"unexpected keys: {unexpected}"
 
 
+def load_ref_train_get_metrics():
+    """Verbatim ``get_metrics`` from the reference's in-training evaluate
+    (`training/train.py:504-574`), extracted by AST so the module-level
+    imports (wandb, webdataset, clap_module CLI deps) never run."""
+    import ast
+    import os
+
+    import torch.nn.functional as F
+
+    path = os.path.join(os.path.dirname(REF_DIR), "training", "train.py")
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    fn = next(
+        node for node in tree.body
+        if isinstance(node, ast.FunctionDef) and node.name == "get_metrics"
+    )
+    ns = {"torch": torch, "np": np, "F": F}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), path, "exec"), ns)
+    return ns["get_metrics"]
+
+
 def load_ref_dcase_get_metrics(n_texts: int):
     """Verbatim ``get_metrics`` from the reference's DCASE eval
     (`evaluate/eval_dcase.py:33-48`), extracted by AST so its module-level

@@ -122,9 +122,12 @@ def test_fsdp_step_matches_replicated():
 
 @pytest.mark.slow
 def test_train_cli_toy_fsdp(tmp_path, monkeypatch):
-    """`training/main.py` end-to-end: toy dataset, one epoch, `--fsdp` —
-    the CLI wiring of the sharded path (state stays sharded through the
-    epoch loop, params.txt records the flag)."""
+    """`training/main.py` end-to-end: toy dataset, one epoch, `--fsdp`,
+    `--val-data` + `--save-top-performance` (the in-training evaluate(),
+    `train.py:266-501`), and `--freeze-text-after 0` (the epoch-triggered
+    freeze, `main.py:510-513`) — the CLI wiring of each path: state stays
+    sharded through the epoch loop, val metrics land in results.jsonl, a
+    top-K checkpoint is written, params.txt records the flags."""
     import json
 
     from audio_residual_tpu.models import factory
@@ -150,9 +153,11 @@ def test_train_cli_toy_fsdp(tmp_path, monkeypatch):
             "--amodel", "HTSAT-tiny-demo", "--tmodel", "transformer",
             "--dataset-type", "toy",
             "--train-data", str(tmp_path / "toy.h5"),
+            "--val-data", str(tmp_path / "toy_val.h5"),
             "--logs", str(tmp_path / "logs"), "--name", "fsdp-smoke",
             "--batch-size", "8", "--epochs", "1",
             "--save-frequency", "10", "--fsdp",
+            "--save-top-performance", "1", "--freeze-text-after", "0",
         ])
     finally:
         HTSAT_VARIANTS.pop("tiny-demo")
@@ -162,4 +167,17 @@ def test_train_cli_toy_fsdp(tmp_path, monkeypatch):
     leaves = jax.tree.leaves(out["state"]["params"])
     assert any(not leaf.sharding.is_fully_replicated for leaf in leaves)
     ptxt = (tmp_path / "logs" / "fsdp-smoke" / "params.txt").read_text()
-    assert "fsdp: True" in ptxt
+    assert "fsdp: True" in ptxt and "freeze_text_after: 0" in ptxt
+
+    # in-training eval ran (epoch 0 + end of epoch 1) and metrics are real
+    m = out["metrics"]
+    assert m["all/num_samples"] == 64
+    assert 0.0 <= m["all/audio_to_text_R@10"] <= 1.0
+    lines = [json.loads(line) for line in
+             (tmp_path / "logs" / "fsdp-smoke" / "results.jsonl").open()]
+    val_lines = [r for r in lines if any(k.startswith("val/") for k in r)]
+    assert len(val_lines) >= 2  # pre-train eval + completed-epoch eval
+    # top-K checkpoint rotation engaged on the _R@10 metrics
+    assert out["top_k"][0] > -np.inf
+    ckpts = list((tmp_path / "logs" / "fsdp-smoke" / "checkpoints").iterdir())
+    assert any("pretrain_performance" in p.name for p in ckpts)
