@@ -49,7 +49,9 @@ class ToyDataset:
     clip per class, cycling classes (`generate_queue`, `data.py:146-170`).
     """
 
-    def __init__(self, h5_path: str, *, class_names: list[str] | None = None, eval_mode: bool = False, seed: int = 0):
+    def __init__(self, h5_path: str, *, class_names: list[str] | None = None,
+                 eval_mode: bool = False, seed: int = 0,
+                 ipc_path: str | None = None):
         import h5py
 
         self.fp = h5py.File(h5_path, "r")
@@ -60,6 +62,13 @@ class ToyDataset:
         self.eval_mode = eval_mode
         self.rng = np.random.default_rng(seed)
         self.total_size = len(self.waveforms)
+        # `--train-ipc`/`--val-ipc` (`params.py:40-50`, consumed at
+        # `data.py:129`): npy of per-class sample-index arrays driving the
+        # balanced queue. Default None derives the same structure from the
+        # h5 targets (the npy the reference ships is exactly that).
+        self.ipc = (
+            np.load(ipc_path, allow_pickle=True) if ipc_path is not None else None
+        )
         self.queue: list[int] = []
         self.generate_queue()
 
@@ -67,10 +76,14 @@ class ToyDataset:
         if self.eval_mode:
             self.queue = list(range(self.total_size))
             return
-        per_class = [np.flatnonzero(self.targets[:, c]) for c in range(self.num_classes)]
+        per_class = (
+            [np.asarray(c, dtype=np.int64) for c in self.ipc]
+            if self.ipc is not None
+            else [np.flatnonzero(self.targets[:, c]) for c in range(self.num_classes)]
+        )
         self.queue = []
         while len(self.queue) < self.total_size:
-            order = self.rng.permutation(self.num_classes)
+            order = self.rng.permutation(len(per_class))
             for c in order:
                 if len(per_class[c]) and len(self.queue) < self.total_size:
                     self.queue.append(int(self.rng.choice(per_class[c])))

@@ -119,9 +119,11 @@ def _amodel_to_config(model_cfg: dict, enable_fusion: bool, fusion_type: str) ->
     return audio
 
 
-def _tmodel_to_config(tmodel_name: str, text_cfg_json: dict):
+def _tmodel_to_config(tmodel_name: str, text_cfg_json: dict, *, quick_gelu: bool = False):
     """Text-tower dispatch (`model.py:494-527`): roberta-base / bert-base-
-    uncased / the config file's CLIP transformer / bart-base."""
+    uncased / the config file's CLIP transformer / bart-base. ``quick_gelu``
+    reaches only the CLIP transformer (the reference's ``act_layer`` switch
+    applies to that branch alone, `model.py:453,479`)."""
     if tmodel_name == "roberta":
         return RobertaConfig()
     if tmodel_name == "bert":
@@ -139,6 +141,7 @@ def _tmodel_to_config(tmodel_name: str, text_cfg_json: dict):
             heads=text_cfg_json["heads"],
             layers=text_cfg_json["layers"],
             context_length=text_cfg_json["context_length"],
+            quick_gelu=quick_gelu,
         )
     if tmodel_name == "bart":
         return BartConfig()
@@ -155,6 +158,7 @@ def create_model(
     seed: int = 0,
     pretrained_audio: str = "",
     pretrained_text: str = "",
+    force_quick_gelu: bool = False,
 ):
     """Build (params, cfg, model_cfg_dict) for a registered model name
     (`factory.py:73-227`). ``pretrained`` may be a torch checkpoint path —
@@ -173,10 +177,18 @@ def create_model(
     """
     amodel_name = amodel_name.replace("/", "-")
     model_cfg = get_model_config(amodel_name)
+    if force_quick_gelu:
+        # `--force-quick-gelu` (reference `factory.py:129-131`): override for
+        # QuickGELU on non-OpenAI transformer towers — consumed by the CLIP
+        # text/vision towers; audio towers have no gelu-variant switch
+        model_cfg = {**model_cfg, "quick_gelu": True}
     if "audio_cfg" not in model_cfg:
         return _create_clip_model(model_cfg, tmodel_name, seed=seed)
     audio_cfg = _amodel_to_config(model_cfg, enable_fusion, fusion_type)
-    text_cfg = _tmodel_to_config(tmodel_name, model_cfg["text_cfg"])
+    text_cfg = _tmodel_to_config(
+        tmodel_name, model_cfg["text_cfg"],
+        quick_gelu=bool(model_cfg.get("quick_gelu", False)),
+    )
 
     kwargs = dict(
         embed_dim=model_cfg["embed_dim"],

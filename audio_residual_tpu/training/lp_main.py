@@ -34,6 +34,10 @@ __all__ = ["main"]
 
 def main(argv=None) -> dict:
     args = parse_args(argv)
+    if args.sleep:
+        import time
+
+        time.sleep(args.sleep)  # `lp_main.py:296`
     log_base = os.path.join(args.logs, args.name or "lp_run")
     os.makedirs(log_base, exist_ok=True)
     setup_logging(os.path.join(log_base, "out.log"))

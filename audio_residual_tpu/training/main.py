@@ -35,7 +35,7 @@ from audio_residual_tpu.training.train_clap import (
     make_split_optimizer,
     make_train_step,
 )
-from audio_residual_tpu.utils.misc import load_class_label
+from audio_residual_tpu.utils.misc import load_class_label, prefetch_batches
 from audio_residual_tpu.utils.tokenizer import load_default_tokenizer
 
 __all__ = ["main"]
@@ -64,12 +64,15 @@ def _experiment_name(args) -> str:
     )
 
 
-def _toy_batches_fn(path, args, audio_cfg, tokenize):
+def _toy_batches_fn(path, args, audio_cfg, tokenize, *, is_train=True):
     from audio_residual_tpu.data.toy import make_toy_h5
 
     if not os.path.exists(path):
         make_toy_h5(path, clip_samples=audio_cfg["clip_samples"])
-    ds = ToyDataset(path)
+    # `--train-ipc`/`--val-ipc` (`data.py:815`): per-class index npy for the
+    # balanced queue; None derives the same structure from the h5 targets
+    ipc = args.train_ipc if is_train else args.val_ipc
+    ds = ToyDataset(path, ipc_path=ipc, eval_mode=not is_train)
 
     def epochs(epoch=0):
         for b in ds.batches(args.batch_size):
@@ -113,8 +116,16 @@ def build_data(args, model_cfg, tokenize):
                                  args, audio_cfg, tokenize)
         val_fn = None
         if args.val_data:
-            val_fn = _toy_batches_fn(args.val_data, args, audio_cfg, tokenize)
+            val_fn = _toy_batches_fn(args.val_data, args, audio_cfg, tokenize,
+                                     is_train=False)
         return epochs, None, val_fn
+    if args.dataset_type == "csv":
+        # parity with `data.py:846`: the reference parses the csv-* flags but
+        # ships no csv dataset path — its own dispatcher raises exactly this
+        raise ValueError(f"Unsupported dataset type: {args.dataset_type}")
+    # "auto" and "webdataset" both resolve to local tar shards (the
+    # reference's default "auto" hits the same `data.py:846` raise — dead by
+    # default; here the default works)
 
     # sharded tar path; train splits come from --datasetinfos
     # (`data.py:855-866`), val from the valid/test/eval splits of the
@@ -241,11 +252,14 @@ def main(argv=None) -> dict:
     if args.copy_codebase:
         copy_codebase(args, log_base)
 
+    if args.sleep:
+        time.sleep(args.sleep)  # `lp_main.py:296`
     params, cfg, model_cfg = factory.create_model(
         args.amodel, args.tmodel, args.pretrained,
         enable_fusion=args.enable_fusion, fusion_type=args.fusion_type,
         seed=args.seed, pretrained_audio=args.pretrained_audio,
         pretrained_text=args.pretrained_text,
+        force_quick_gelu=args.force_quick_gelu,
     )
     tokenize = load_default_tokenizer(cfg.context_length)
     epochs_fn, total_samples, val_fn = build_data(args, model_cfg, tokenize)
@@ -275,12 +289,14 @@ def main(argv=None) -> dict:
             name=args.optimizer,
             momentum_pretrained=args.momentum_pretrained,
             momentum_new=args.momentum_new,
+            skip_scheduler=args.skip_scheduler,
         )
     else:
         optimizer = make_optimizer(
             lr=args.lr, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
             weight_decay=args.wd, warmup=args.warmup, total_steps=total_steps,
             name=args.optimizer, momentum=args.momentum,
+            skip_scheduler=args.skip_scheduler,
         )
     state = init_train_state(params, optimizer)
 
@@ -342,7 +358,10 @@ def main(argv=None) -> dict:
                     weight_loss_kappa=args.kappa,
                 )
             end = time.time()
-            for batch in epochs_fn(epoch):
+            # `--prefetch-factor`: host decode/featurize runs a bounded
+            # queue ahead of the device step (torch DataLoader's knob,
+            # `params.py:553-557`; here a background thread)
+            for batch in prefetch_batches(epochs_fn(epoch), args.prefetch_factor):
                 data_time.update(time.time() - end)
                 device_batch = shard_batch(
                     mesh,

@@ -51,6 +51,21 @@ def parse_args(args=None) -> argparse.Namespace:
                    help="class-index pickle/json -> args.class_index_dict (data.py:853)")
     p.add_argument("--workers", type=int, default=1,
                    help="accepted for compat; the sharded pipeline is synchronous per host")
+    p.add_argument("--prefetch-factor", type=int, default=None,
+                   help="background-thread batch prefetch depth "
+                        "(utils/misc.prefetch_batches; torch DataLoader's "
+                        "knob, reference params.py:553-557)")
+    p.add_argument("--train-ipc", type=str, default=None,
+                   help="npy of per-class sample indices for the toy "
+                        "balanced queue (`data.py:815`); None derives it "
+                        "from the h5 targets")
+    p.add_argument("--val-ipc", type=str, default=None)
+    # open_clip csv legacy: parsed like the reference, whose own dispatcher
+    # raises 'Unsupported dataset type: csv' (`data.py:846`) — no csv path
+    # shipped there or here
+    p.add_argument("--csv-separator", type=str, default="\t")
+    p.add_argument("--csv-img-key", type=str, default="filepath")
+    p.add_argument("--csv-caption-key", type=str, default="title")
 
     # model
     p.add_argument("--amodel", type=str, default="HTSAT-tiny")
@@ -64,6 +79,19 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--enable-fusion", action="store_true", default=False)
     p.add_argument("--fusion-type", type=str, default="None",
                    choices=["None", "daf_1d", "aff_1d", "iaff_1d", "daf_2d", "aff_2d", "iaff_2d", "channel_map"])
+    p.add_argument("--force-quick-gelu", action="store_true", default=False,
+                   help="QuickGELU in the CLIP transformer towers "
+                        "(reference factory.py:129-131)")
+    # open_clip vision legacy (warned below; functional equivalents noted)
+    p.add_argument("--pretrained-image", action="store_true", default=False)
+    p.add_argument("--lock-image", action="store_true", default=False)
+    p.add_argument("--lock-image-unlocked-groups", type=int, default=0)
+    p.add_argument("--lock-image-freeze-bn-stats", action="store_true", default=False)
+    # torch-jit legacy: every forward here is XLA-jitted by construction
+    p.add_argument("--torchscript", action="store_true", default=False)
+    p.add_argument("--trace", action="store_true", default=False)
+    p.add_argument("--openai-model-cache-dir", type=str, default="~/.cache/clip",
+                   help="download cache for pretrained=openai CLIP weights")
 
     # optimization
     p.add_argument("--batch-size", type=int, default=64)
@@ -76,6 +104,12 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--warmup", type=int, default=10000)
     p.add_argument("--optimizer", type=str, default="adamw", choices=["adamw", "sgd", "adam"])
+    p.add_argument("--skip-scheduler", action="store_true", default=False,
+                   help="hold lr at the base value (no warmup/cosine decay); "
+                        "the reference parses this and never wires it "
+                        "(params.py:233-237) — here it works")
+    p.add_argument("--sleep", type=float, default=0,
+                   help="sleep n seconds before start (`lp_main.py:296`)")
     p.add_argument("--split-opt", action="store_true", default=False,
                    help="separate optimizer groups for pretrained vs new params")
     for pg in ("pretrained", "new"):
@@ -124,6 +158,11 @@ def parse_args(args=None) -> argparse.Namespace:
                         "are computed on globally-sharded features (the "
                         "reference's explicit all_gather, train.py:355-388)")
     p.add_argument("--no-eval", action="store_true", default=False)
+    # CLIP-legacy imagenet zero-shot paths: the consuming evaluator is dead
+    # code in the reference ("not supported for CLAP", zero_shot.py:13-91);
+    # the batched equivalent lives in evaluate/zero_shot_imagenet.py
+    p.add_argument("--imagenet-val", type=str, default=None)
+    p.add_argument("--imagenet-v2", type=str, default=None)
     p.add_argument("--top-k-checkpoint-select-dataset", type=str, default="all")
     p.add_argument("--top-k-checkpoint-select-metric", type=str, default="_R@10")
 
@@ -206,6 +245,31 @@ def parse_args(args=None) -> argparse.Namespace:
         logging.warning(
             "--remotedata: this build reads local shards only (no S3 "
             "fetch); point --datasetpath at the local mirror"
+        )
+    if ns.torchscript or ns.trace:
+        logging.warning(
+            "--torchscript/--trace have no effect: every forward/step here "
+            "is XLA-jit-compiled by construction (the reference's "
+            "torch.jit.trace_module path, model.py:896-912)"
+        )
+    if ns.lock_image or ns.lock_image_unlocked_groups or ns.lock_image_freeze_bn_stats:
+        logging.warning(
+            "--lock-image*: vision-tower locking is expressed as an optax "
+            "trainability mask here — see models/vision.vision_freeze_mask "
+            "(the reference's lock() path is vision-legacy its CLAP never "
+            "builds)"
+        )
+    if ns.pretrained_image:
+        logging.warning(
+            "--pretrained-image needs timm imagenet weights (network); "
+            "vision towers initialise randomly or from a CLIP checkpoint "
+            "via --pretrained"
+        )
+    if ns.imagenet_val or ns.imagenet_v2:
+        logging.warning(
+            "--imagenet-val/--imagenet-v2: the consuming evaluator is dead "
+            "code in the reference (zero_shot.py 'not supported for CLAP'); "
+            "use evaluate/zero_shot_imagenet.py directly if needed"
         )
 
     # model-dependent defaults backfill (`params.py:561-566`)

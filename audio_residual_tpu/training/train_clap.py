@@ -55,6 +55,7 @@ def make_optimizer(
     total_steps: int = 100000,
     name: str = "adamw",
     momentum: float = 0.9,
+    skip_scheduler: bool = False,
 ) -> optax.GradientTransformation:
     """``--optimizer`` mux (`clap_module/utils.py:374-389`) with
     cosine-warmup schedule and the reference's decay mask.
@@ -65,8 +66,11 @@ def make_optimizer(
     momentum)`` — heavy-ball momentum buffer, no decay, no eps/betas.
     AdamW beta defaults mirror ``get_default_params`` for HTSAT
     (`params.py:4-10`); these are config, override freely.
+    ``skip_scheduler`` holds lr at the base value (no warmup/decay) — the
+    `--skip-scheduler` semantics, which the reference parses
+    (`params.py:233-237`) but never wires up; here the flag works.
     """
-    sched = cosine_lr(lr, warmup, total_steps)
+    sched = (lambda s: lr) if skip_scheduler else cosine_lr(lr, warmup, total_steps)
     scale = optax.scale_by_schedule(lambda s: -sched(s))
     if name == "sgd":
         return optax.chain(optax.trace(decay=momentum), scale)
@@ -205,6 +209,7 @@ def make_split_optimizer(
     name: str = "adamw",
     momentum_pretrained: float = 0.9,
     momentum_new: float = 0.9,
+    skip_scheduler: bool = False,
 ) -> optax.GradientTransformation:
     """Separate optimizer groups for pretrained vs newly-initialised params —
     the ``--split-opt`` regime (`main.py:323-404`).
@@ -237,7 +242,7 @@ def make_split_optimizer(
         return make_optimizer(
             lr, beta1=bg[0], beta2=bg[1], eps=eg if eg is not None else eps,
             weight_decay=wd, warmup=warmup, total_steps=total_steps,
-            name=name, momentum=mom,
+            name=name, momentum=mom, skip_scheduler=skip_scheduler,
         )
 
     return optax.multi_transform(

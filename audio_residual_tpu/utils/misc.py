@@ -23,7 +23,47 @@ __all__ = [
     "load_class_label",
     "dataset_split",
     "get_data_from_log",
+    "prefetch_batches",
 ]
+
+
+def prefetch_batches(iterable, depth: int):
+    """Background-thread batch prefetch — the host-pipeline counterpart of
+    torch DataLoader's ``--prefetch-factor`` (`params.py:553-557`).
+
+    A producer thread drains ``iterable`` into a bounded queue of ``depth``
+    batches while the consumer feeds the device, so host-side decode /
+    featurize overlaps device compute (the TPU idiom: keep the host ahead of
+    the accelerator). Order-preserving; producer exceptions re-raise in the
+    consumer. ``depth <= 0`` or ``None`` yields the iterable unchanged.
+    """
+    if not depth or depth <= 0:
+        yield from iterable
+        return
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    _END, _ERR = object(), object()
+
+    def produce():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+            q.put((_ERR, e))
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item
 
 # webdataset split registry (`clap_module/utils.py:14-59`): dataset name ->
 # available split names used to resolve tar paths.

@@ -431,3 +431,85 @@ def test_text_tower_flops_per_sample():
     assert 10e9 < f < 20e9  # roberta-base @ 77 tokens ~= 13.3 GF
     assert text_tower_flops_per_sample(RobertaConfig(), seq_len=38) < f / 1.8
     assert text_tower_flops_per_sample(RobertaConfig(num_layers=24)) > 1.9 * f
+
+
+def test_every_reference_experiment_script_parses():
+    """The flag payload of EVERY reference launch script that targets the
+    shared parser (`training/params.py`) parses here — extracted from the
+    actual .sh files, not re-typed. zeroshot_esc50.sh is excluded: its
+    eval_zeroshot_classification CLI carries its own parser in both repos."""
+    import glob
+    import re
+    import shlex
+
+    scripts = sorted(glob.glob("/root/reference/CLAP/experiment_scripts/*.sh"))
+    assert len(scripts) == 8
+    seen = 0
+    for path in scripts:
+        if path.endswith("zeroshot_esc50.sh"):
+            continue
+        text = open(path).read().replace("\\\n", " ")
+        m = re.search(r"python -m [\w.]+ (.*)", text)
+        assert m, path
+        flags = shlex.split(m.group(1))
+        a = parse_args(flags)
+        assert a.amodel in ("HTSAT-tiny", "PANN-14"), path
+        seen += 1
+    assert seen == 7
+
+
+def test_prefetch_batches_order_and_errors():
+    from audio_residual_tpu.utils.misc import prefetch_batches
+
+    assert list(prefetch_batches(iter(range(10)), 3)) == list(range(10))
+    assert list(prefetch_batches(iter(range(5)), None)) == list(range(5))
+    assert list(prefetch_batches(iter([]), 2)) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer died")
+
+    it = prefetch_batches(boom(), 2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer died"):
+        list(it)
+
+
+def test_toy_dataset_ipc_path(tmp_path):
+    from audio_residual_tpu.data.toy import ToyDataset, make_toy_h5
+
+    h5 = make_toy_h5(str(tmp_path / "toy.h5"), num_samples=32, num_classes=4,
+                     clip_samples=800)
+    # ipc restricted to the first 8 samples only (reference `data.py:129`:
+    # ipc[class] = array of sample indices for that class)
+    ds_full = ToyDataset(h5)
+    allowed = [np.flatnonzero(ds_full.targets[:8, c]) for c in range(4)]
+    ipc = np.empty(4, dtype=object)
+    for c in range(4):
+        ipc[c] = allowed[c]
+    ipc_path = str(tmp_path / "ipc.npy")
+    np.save(ipc_path, ipc, allow_pickle=True)
+    ds = ToyDataset(h5, ipc_path=ipc_path)
+    legal = set()
+    for c in range(4):
+        legal |= set(int(i) for i in allowed[c])
+    assert set(ds.queue) <= legal
+    assert len(ds.queue) == 32
+
+
+def test_force_quick_gelu_reaches_clip_text_tower():
+    from audio_residual_tpu.models.factory import create_model
+
+    _, cfg, _ = create_model("HTSAT-tiny", "transformer")
+    assert cfg.text.quick_gelu is False
+    _, cfg_q, _ = create_model("HTSAT-tiny", "transformer", force_quick_gelu=True)
+    assert cfg_q.text.quick_gelu is True
+
+
+def test_build_data_csv_raises_like_reference():
+    from audio_residual_tpu.training.main import build_data
+
+    args = parse_args(["--dataset-type", "csv", "--train-data", "/tmp/x.csv"])
+    with pytest.raises(ValueError, match="Unsupported dataset type"):
+        build_data(args, {"audio_cfg": {"clip_samples": 480000}}, tokenize=None)

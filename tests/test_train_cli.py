@@ -72,6 +72,27 @@ def test_optimizer_unknown_raises():
         make_optimizer(1e-3, name="lamb")
 
 
+def test_skip_scheduler_holds_base_lr():
+    """--skip-scheduler: lr constant at the base value — no warmup ramp, no
+    cosine decay. With sgd/momentum=0 the update is exactly -lr*grad at every
+    step; the scheduled path at step 0 inside a warmup must differ."""
+    g = {"w": jnp.ones((2, 2))}
+    p = {"w": jnp.zeros((2, 2))}
+    lr = 0.25
+
+    skip = make_optimizer(lr, name="sgd", momentum=0.0, warmup=100,
+                          total_steps=1000, skip_scheduler=True)
+    state = skip.init(p)
+    for _ in range(3):  # steps 0..2, all identical under skip
+        updates, state = skip.update(g, state, p)
+        np.testing.assert_allclose(np.asarray(updates["w"]), -lr, rtol=1e-6)
+
+    sched = make_optimizer(lr, name="sgd", momentum=0.0, warmup=100,
+                           total_steps=1000, skip_scheduler=False)
+    updates, _ = sched.update(g, sched.init(p), p)
+    assert abs(float(updates["w"][0, 0])) < lr * 0.02  # warmup start ~ 0
+
+
 # ---- in-training validation metrics (get_metrics oracle) -------------------
 
 @pytest.mark.parametrize("mlp_loss", [False, True])
