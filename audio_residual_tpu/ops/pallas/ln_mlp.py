@@ -133,7 +133,12 @@ def fused_residual_ffn(
     # bf16 AMP: x/a blocks keep the caller's dtype (halved input DMA) and
     # the streamed fc1/fc2 chunks ship pre-cast (halved weight-stream
     # traffic — this kernel is weight-stream-bound at HTSAT layer 3).
-    # The OUTPUT stays f32: o_ref is the cross-chunk accumulator.
+    # o_ref itself stays f32 (it is the cross-chunk accumulator; a bf16
+    # accumulator would round every partial sum), so the caller's-dtype
+    # output contract every other fused kernel honors under AMP is restored
+    # by a post-call cast — XLA fuses it, and at layer 3 the out-block DMA
+    # is noise next to the weight stream. Caught on real Mosaic by the
+    # drive's layer3_split bf16 arm (round 5).
     store = x.dtype if mxu_dtype is not None else jnp.float32
     if mxu_dtype is not None:
         wfc1, wfc2 = wfc1.astype(mxu_dtype), wfc2.astype(mxu_dtype)
@@ -144,7 +149,7 @@ def fused_residual_ffn(
         mxu_dtype=mxu_dtype,
     )
     const = lambda *shape: pl.BlockSpec(shape, (lambda i, k: (0,) * len(shape)), memory_space=pltpu.VMEM)  # noqa: E731
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(rows // r, n_k),
         in_specs=[
@@ -167,3 +172,4 @@ def fused_residual_ffn(
         scratch_shapes=[pltpu.VMEM((r, c), mxu_dtype or jnp.float32)],
     )(x.astype(store), a.astype(store), n2s, n2b,
       wfc1, bfc1.reshape(1, hidden), wfc2, bfc2, rbasis, rmean, rlam)
+    return out.astype(store)

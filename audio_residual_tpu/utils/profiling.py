@@ -46,9 +46,10 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
-def measure_seconds(fn, args, *, iters: int = 10, reps: int = 3) -> float:
-    """Seconds per call of ``fn(*args)`` — the ONE timing core every perf
-    tool here uses (`bench.py`, `examples/perf_breakdown.py`,
+def measure_seconds(fn, args, *, iters: int = 10, reps: int = 3,
+                    const_args=()) -> float:
+    """Seconds per call of ``fn(*args, *const_args)`` — the ONE timing core
+    every perf tool here uses (`bench.py`, `examples/perf_breakdown.py`,
     :func:`measure_throughput`).
 
     Method: ``iters`` executions chained through a data dependency inside
@@ -57,14 +58,25 @@ def measure_seconds(fn, args, *, iters: int = 10, reps: int = 3) -> float:
     from the DIFFERENCE — the per-dispatch relay latency (~30 ms through
     the axon tunnel, same order as a ~1 ms kernel amortized over 10 iters)
     cancels exactly instead of inflating short programs.
-    """
+
+    Pass model params / optimizer state through ``const_args``, NOT a
+    closure: arrays a traced function closes over are embedded in the
+    lowered module as dense literals, and a full CLAP train step captured
+    this way lowers to a **1.24 GB** StableHLO module (vs 12 MB with the
+    same pytrees as arguments) — the axon relay rejects it with HTTP 413,
+    and even under the limit every compile ships the weights uncompressed.
+    ``const_args`` ride outside the scan's carry perturbation (they are
+    loop-invariant by construction), while every ``args`` leaf gets the
+    carry-dependency nudge that defeats queue tricks."""
 
     def make(length):
         @jax.jit
-        def multi(*a):
+        def multi(*all_a):
+            a, ca = all_a[: len(args)], all_a[len(args):]
+
             def body(carry, _):
                 out = fn(*jax.tree.map(
-                    lambda t: (t + carry * 1e-12).astype(t.dtype), a))
+                    lambda t: (t + carry * 1e-12).astype(t.dtype), a), *ca)
                 leaf = jax.tree.leaves(out)[0]
                 return jnp.mean(leaf.astype(jnp.float32)), None
 
@@ -74,11 +86,11 @@ def measure_seconds(fn, args, *, iters: int = 10, reps: int = 3) -> float:
         return multi
 
     def timed(m):
-        float(np.asarray(m(*args)))  # compile + sync
+        float(np.asarray(m(*args, *const_args)))  # compile + sync
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(np.asarray(m(*args)))
+            float(np.asarray(m(*args, *const_args)))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)), float(max(ts) - min(ts))
 

@@ -304,6 +304,27 @@ def test_split_block_matches_twin(rng, use_res, dffn):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
 
 
+@pytest.mark.parametrize("xdtype", [jnp.bfloat16, jnp.float32])
+def test_split_block_amp_output_dtype_contract(rng, xdtype):
+    """Under AMP every fused path returns the CALLER's activation dtype —
+    the split plan included. o_ref inside the chunked-FFN kernel is an f32
+    cross-chunk accumulator, so the contract is restored by a post-call
+    cast; before round 5 the split plan leaked f32 outputs into the bf16
+    AMP layer loop (caught on real Mosaic by the drive's layer3_split bf16
+    arm, which interpret-mode tests missed for want of this assert)."""
+    from audio_residual_tpu.ops.pallas import swin_block as fsb
+
+    c, nh, g = 96, 4, 4
+    _, flat = _block_params(rng, c, nh)
+    x = jnp.asarray(rng.standard_normal((g, 64, c)).astype(np.float32) * 0.5)
+    x = x.astype(xdtype)
+    with mock.patch.object(fsb, "_VMEM_BUDGET", 1), \
+         mock.patch.object(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)):
+        got = fsb.fused_swin_block(x, flat, nh, 8, g, 0, (16, 16), False,
+                                   False, jnp.bfloat16)
+    assert got.dtype == xdtype
+
+
 @pytest.mark.parametrize(
     "c,nh,hidden",
     [
